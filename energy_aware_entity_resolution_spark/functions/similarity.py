@@ -1,0 +1,130 @@
+"""Pairwise similarity functions (SURVEY.md §2.4 M1-M6).
+
+Reference: comparison_approaches/formula_comparison.py:8-54 (per-pair
+Python). Here every scorer that Spark can express natively stays
+JVM-side (whole-stage codegen over the candidate-pair DataFrame); only
+Jaro-Winkler needs a pandas UDF (Arrow-batched, length-capped).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Set Jaccard |∩|/|∪| over token arrays (M3,
+    formula_comparison.py:19-24) — array_intersect/union, codegen'd."""
+    denom = F.size(F.array_union(a, b))
+    return F.when(denom > 0, F.size(F.array_intersect(a, b)) / denom).otherwise(
+        F.lit(1.0)
+    )
+
+
+def multiset_jaccard_col(a: Column, b: Column) -> Column:
+    """Multiset Jaccard: sum of min counts / sum of max counts (M4,
+    formula_comparison.py:26-35 uses Counters). JVM-side via nested
+    array ops — O(u·(|a|+|b|)) per pair, fine for bounded token lists."""
+    uniq = F.array_distinct(F.concat(a, b))
+    inter = F.aggregate(
+        F.transform(
+            uniq,
+            lambda t: F.least(
+                F.size(F.filter(a, lambda x: x == t)),
+                F.size(F.filter(b, lambda x: x == t)),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+
+
+def levenshtein_ratio_col(a: Column, b: Column, cap: int = 512) -> Column:
+    """1 - dist/max(len) over length-capped strings (M2 analog).
+
+    The reference uses Levenshtein.ratio (formula_comparison.py:15-17,
+    C library); Spark's built-in `levenshtein` keeps this JVM-side.
+    Cap bounds the O(len²) DP on long assembled conversations
+    (SURVEY.md §7.3 risk note).
+    """
+    a_c = F.substring(a, 1, cap)
+    b_c = F.substring(b, 1, cap)
+    mx = F.greatest(F.length(a_c), F.length(b_c), F.lit(1))
+    return F.lit(1.0) - F.levenshtein(a_c, b_c) / mx
+
+
+def multiset_equal_col(a: Column, b: Column) -> Column:
+    """Deterministic equality ignoring ''/nan (M5/M6,
+    formula_comparison.py:8-13)."""
+    clean = lambda c: F.array_sort(  # noqa: E731
+        F.filter(c, lambda x: (x != F.lit("")) & (x != F.lit("nan")))
+    )
+    return clean(a) == clean(b)
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Plain-Python Jaro-Winkler (public textbook formula)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+def make_jaro_winkler_udf(cap: int = 128):
+    """Arrow-batched Jaro-Winkler over capped strings (north_star's
+    "batched Jaro-Winkler ... in pandas UDFs")."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jw(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            av = a.fillna("").str.slice(0, cap)
+            bv = b.fillna("").str.slice(0, cap)
+            yield pd.Series(
+                np.fromiter(
+                    (_jaro_winkler(x, y) for x, y in zip(av, bv)),
+                    dtype=np.float64,
+                    count=len(av),
+                )
+            )
+
+    return jw

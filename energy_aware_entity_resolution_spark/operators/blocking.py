@@ -1,0 +1,131 @@
+"""Featurization + blocking tables (SURVEY.md §2.2-2.3, J1/J11, G1).
+
+The reference materializes a heterogeneous token graph
+(dynamic_graph.py:495-576) whose record↔token incidence drives both
+blocking and embeddings. Here that incidence *is* the blocking layer:
+a featurized conversation table plus exploded band/key tables, all
+plain DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+from energy_aware_entity_resolution_spark.functions.cleaning import (
+    clean_text_col,
+    signature_col,
+    tokens_col,
+)
+from energy_aware_entity_resolution_spark.functions.embeddings import (
+    make_pooled_embedding_udf,
+)
+from energy_aware_entity_resolution_spark.functions.keys import (
+    bitmask_col,
+    sig_hash_col,
+    sorted_neighborhood_key_col,
+)
+from energy_aware_entity_resolution_spark.functions.minhash import (
+    band_table,
+    make_minhash_udf,
+)
+
+
+def corpus_stopwords(tokenized: DataFrame, ratio: float) -> list[str]:
+    """Tokens present in > ratio of conversations (A3 IDF analog).
+
+    One explode + groupBy; the result is tiny by construction (at most
+    avg_tokens_per_doc / ratio distinct tokens can exceed the bar), so
+    it collects to the driver and broadcasts as a literal array.
+    """
+    n = tokenized.count()
+    hot = (
+        tokenized.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .count()
+        .where(F.col("count") > ratio * n)
+    )
+    return [r["token"] for r in hot.collect()]
+
+
+def featurize(assembled: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """assembled conversations -> + cleaned/tokens/sig/keys/minhash/vec.
+
+    Two passes: (1) tokenize + corpus-stopword discovery (one
+    explode/groupBy — the reference computes the same IDF statistics,
+    dynamic_graph.py:377-391), (2) one wide projection computing all
+    keys/signatures; the pandas UDFs (minhash, embed) run on the
+    DF-pruned `rare_tokens` so boilerplate never reaches LSH — killing
+    the hot-band skew at its source rather than only capping it later.
+
+    Exact-match signature/bitmask keep ALL tokens (exact semantics are
+    whole-text equality, J2).
+    """
+    minhash = make_minhash_udf(cfg.blocking.minhash_k)
+    embed = make_pooled_embedding_udf(cfg.scoring.embedding_dim)
+    tokenized = (
+        assembled.withColumn("cleaned", clean_text_col(F.col("doc")))
+        .withColumn("tokens", tokens_col(F.col("cleaned")))
+    )
+    stop = corpus_stopwords(tokenized, cfg.blocking.df_stopword_ratio)
+    stop_lit = F.array(*[F.lit(t) for t in stop]) if stop else F.array().cast(
+        "array<string>"
+    )
+    rare = F.array_except(F.col("tokens"), stop_lit)
+    out = (
+        tokenized.withColumn("sig", signature_col(F.col("tokens")))
+        .withColumn(
+            "rare_tokens",
+            F.when(F.size(rare) > 0, rare).otherwise(F.col("tokens")),
+        )
+    )
+    return (
+        out.withColumn("sig_hash", sig_hash_col(F.col("sig")))
+        .withColumn("bitmask", bitmask_col(F.col("sig")))
+        .withColumn("rare_sig", signature_col(F.col("rare_tokens")))
+        .withColumn("sn_key", sorted_neighborhood_key_col(F.col("rare_sig")))
+        .withColumn("minhash", minhash(F.col("rare_tokens")))
+        .withColumn("vec", embed(F.col("rare_tokens")))
+    )
+
+
+def lsh_bands(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(conv_id, band_id, band_hash) LSH blocking table."""
+    return band_table(
+        features,
+        sig_col="minhash",
+        id_col="conv_id",
+        bands=cfg.blocking.minhash_bands,
+        rows=cfg.blocking.minhash_rows,
+    )
+
+
+def cap_blocks(
+    blocks: DataFrame, key_cols: list[str], max_size: int
+) -> DataFrame:
+    """Drop blocks larger than max_size BEFORE pair explosion (J11).
+
+    Reference analog: the hub cap dropping over-frequent candidates
+    (dynamic_entity_resolution.py:283-289). A block of size m yields
+    m(m-1)/2 pairs; boilerplate-driven mega-blocks (shared greeting
+    turns) would otherwise dominate the shuffle. Implemented as an
+    aggregate + broadcast-ready semi-join on the block key.
+    """
+    sizes = blocks.groupBy(*key_cols).count()
+    keep = sizes.where(F.col("count") <= max_size).drop("count")
+    return blocks.join(keep, on=key_cols, how="left_semi")
+
+
+def block_stats(blocks: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Block-size distribution for skew diagnostics (audit table feed)."""
+    return (
+        blocks.groupBy(*key_cols)
+        .count()
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.max("count").alias("max_block"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99_block"),
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pair_budget"),
+        )
+    )

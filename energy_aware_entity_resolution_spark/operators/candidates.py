@@ -1,0 +1,171 @@
+"""Candidate-pair generation (SURVEY.md §2.3 J2-J10, E1).
+
+The reference's candidate layer is (a) bitmask hash-blocking with an
+intra-block nested loop (exact_matching.py:30-55) and (b) a FAISS
+top-k probe (dynamic_entity_resolution.py:10-121). Both become
+equi-self-joins here:
+
+- exact candidates: join on the canonical signature hash — equality of
+  the frozenset signature IS the join key, so the reference's O(n²)
+  in-block loop disappears entirely;
+- LSH candidates: join on (band_id, band_hash) after block capping;
+- sorted-neighborhood candidates: rank within sig-prefix buckets and
+  pair records within a window w of each other.
+
+All outputs are canonical pairs (conv_id_a < conv_id_b, deduped) — E1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+from energy_aware_entity_resolution_spark.operators.blocking import cap_blocks
+
+
+def canonical_pairs(pairs: DataFrame, a: str = "conv_id_a", b: str = "conv_id_b") -> DataFrame:
+    """Order each pair (min, max) and dedupe (E1; reference
+    evaluation.py:128-133)."""
+    return (
+        pairs.select(
+            F.least(a, b).alias(a),
+            F.greatest(a, b).alias(b),
+            *[c for c in pairs.columns if c not in (a, b)],
+        )
+        .where(F.col(a) != F.col(b))
+        .dropDuplicates([a, b])
+    )
+
+
+def exact_pairs(features: DataFrame) -> DataFrame:
+    """J2: pairs with identical token signature (score 1.0 by
+    construction). Join on (bitmask, sig_hash) — the bitmask re-creates
+    the reference's cheap pre-filter, the hash carries the equality."""
+    sel = features.select("conv_id", "bitmask", "sig_hash", "sig")
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return (
+        a.join(b, on=["bitmask", "sig_hash"])
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .where(F.col("a.sig") == F.col("b.sig"))  # guard hash collisions
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+            F.lit("exact").alias("source"),
+        )
+    )
+
+
+def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """J8: self-join the capped band table on the band key.
+
+    Hot bands (boilerplate) are removed by cap_blocks; residual skew is
+    left to AQE skew-join splitting. Output deduped across bands.
+    """
+    capped = cap_blocks(bands, ["band_id", "band_hash"], cfg.blocking.max_block_size)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+        .withColumn("source", F.lit("lsh"))
+    )
+
+
+def salted_self_join_pairs(
+    blocks: DataFrame, key_cols: list[str], id_col: str, salt_buckets: int
+) -> DataFrame:
+    """All-pairs within a block via a salted self-join (SURVEY.md §4
+    custom work #2): rows are hashed into s sub-buckets; the join runs
+    per (bucket_i, bucket_j) pair so one hot block becomes ~s²/2
+    balanced tasks instead of one straggler.
+
+    Deterministic salt: pmod(xxhash64(id), s) — no rand(), so replays
+    and the two-parallelism bench see identical partitions.
+    """
+    s = salt_buckets
+    salted = blocks.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)))
+    left = salted.withColumn("_i", F.col("_salt")).withColumn(
+        "_j", F.explode(F.sequence(F.col("_salt"), F.lit(s - 1)))
+    )
+    right = salted.withColumn("_j", F.col("_salt")).withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.col("_salt")))
+    )
+    on = key_cols + ["_i", "_j"]
+    a = left.alias("a")
+    b = right.alias("b")
+    # a pair whose smaller id sits in the HIGHER bucket only appears in
+    # the (bigger, smaller) orientation — so filter !=, canonicalize
+    # with least/greatest, then dedupe (same-bucket pairs appear twice).
+    return (
+        a.join(b, on=on)
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("conv_id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("conv_id_b"),
+        )
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+    )
+
+
+def sorted_neighborhood_pairs(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Sorted-neighborhood blocking: rank by sn_key within a 2-char
+    prefix bucket (keeps the sort distributed — no global orderBy) and
+    pair each record with the w records after it in key order.
+
+    Classic Hernández-Stolfo SN re-expressed as window + self-join on
+    rank blocks; neighborhoods never cross prefix buckets, an accepted
+    approximation that keeps the operator shuffle-bounded at scale.
+    """
+    w = cfg.blocking.sorted_neighborhood_window
+    bucket = F.substring("sn_key", 1, 2)
+    ranked = features.select(
+        "conv_id",
+        "sn_key",
+        bucket.alias("bucket"),
+        F.row_number()
+        .over(Window.partitionBy(bucket).orderBy("sn_key", "conv_id"))
+        .alias("rank"),
+    )
+    right = ranked.select(
+        F.col("bucket"),
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("rank").alias("rank_b"),
+    )
+    return (
+        ranked.join(right, on="bucket")
+        .where(
+            (F.col("rank_b") > F.col("rank"))
+            & (F.col("rank_b") <= F.col("rank") + w)
+        )
+        .select(
+            F.least("conv_id", "conv_id_b").alias("conv_id_a"),
+            F.greatest("conv_id", "conv_id_b").alias("conv_id_b"),
+        )
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+        .withColumn("source", F.lit("sn"))
+    )
+
+
+def candidate_pairs(
+    features: DataFrame, bands: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Union of exact + LSH (+ sorted-neighborhood) candidates,
+    deduped with source provenance kept for the audit table."""
+    parts = [exact_pairs(features), lsh_pairs(bands, cfg)]
+    if cfg.blocking.use_sorted_neighborhood:
+        parts.append(sorted_neighborhood_pairs(features, cfg))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("conv_id_a", "conv_id_b")
+        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+    )

@@ -1,0 +1,151 @@
+"""Transitive clustering: distributed connected components
+(SURVEY.md §2.6 C1-C4).
+
+The reference maintains entity groups with a hand-rolled union-find
+over an igraph structure, merging groups whenever a pair scores 1.0
+(dataprocessing/similaritygraph.py:30-55, 88-97) and propagating
+matches incrementally in streaming (kafkaconsumer.py:549-620). The
+Spark-native replacement is the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): O(log n) rounds of two groupBy-style shuffles, no
+driver-side graph, converging to a star forest where every node points
+at its component minimum.
+
+Scale notes:
+- node ids stay strings (conv_id); min/ordering is lexicographic.
+- each round is two shuffles keyed by node id; AQE handles skew from
+  high-degree hubs (a giant component's root accumulates degree — the
+  small-star step bounds this because only <=-neighbors group on it).
+- lineage is truncated every round via localCheckpoint; when a
+  ``checkpoint_dir`` is given, each round also writes parquet state so
+  a killed run resumes from the last completed round (north_rule
+  resumability; analog of the reference's model/graph save-resume,
+  main.py:104-153).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions, no self loops, distinct."""
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For each u: m = min(u ∪ N(u)); emit (v, m) for v in N(u), v > u."""
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint, then for each u with
+    incoming smaller-neighbors S: m = min(S ∪ u); emit (v, m) for v in
+    S ∪ {u}."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).distinct()
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        oriented.join(m, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .union(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return relinked
+
+
+def _state_path(checkpoint_dir: str, i: int) -> str:
+    return os.path.join(checkpoint_dir, f"cc_iter_{i:04d}")
+
+
+def _last_complete_iteration(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Highest round whose parquet state fully committed (_SUCCESS)."""
+    best = -1
+    if not os.path.isdir(checkpoint_dir):
+        return best
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("cc_iter_"):
+            p = os.path.join(checkpoint_dir, name)
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                best = max(best, int(name.rsplit("_", 1)[1]))
+    return best
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """edges(src,dst) -> clusters(conv_id, component_id).
+
+    component_id is the lexicographic min conv_id of the component —
+    deterministic regardless of edge order or partitioning (the
+    reference's merge is order-dependent; SURVEY.md §7.3 pins our
+    semantics to the final transitive closure only).
+    """
+    spark = edges.sparkSession
+    start = 0
+    cur = _sym(edges).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    if checkpoint_dir and resume:
+        last = _last_complete_iteration(spark, checkpoint_dir)
+        if last >= 0:
+            cur = spark.read.parquet(_state_path(checkpoint_dir, last))
+            start = last + 1
+    cur = cur.localCheckpoint(eager=True)
+
+    for i in range(start, max_iterations):
+        after_large = _large_star(_sym(cur))
+        after_small = _small_star(after_large)
+        after_small = after_small.localCheckpoint(eager=True)
+        if checkpoint_dir:
+            after_small.write.mode("overwrite").parquet(_state_path(checkpoint_dir, i))
+        # converged when the edge set is a fixpoint (star forest)
+        changed = (
+            after_small.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(after_small).limit(1).count()
+        )
+        cur = after_small
+        if changed == 0:
+            break
+
+    members = cur.select(
+        F.col("src").alias("conv_id"), F.col("dst").alias("component_id")
+    )
+    roots = cur.select(F.col("dst").alias("conv_id")).distinct().select(
+        "conv_id", F.col("conv_id").alias("component_id")
+    )
+    return members.union(roots).distinct()
+
+
+def cluster_pairs(clusters: DataFrame) -> DataFrame:
+    """Expand clusters back to intra-cluster pairs (C2; the reference
+    expands group members at evaluation read time,
+    dataprocessing/evaluation.py:90-104)."""
+    a = clusters.alias("a")
+    b = clusters.alias("b")
+    return (
+        a.join(b, on="component_id")
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+            "component_id",
+        )
+    )

@@ -1,0 +1,108 @@
+"""Decision / rank-based filtering (SURVEY.md §2.5 D1-D9).
+
+Reference: ratio/delta tests + reciprocal-nearest-neighbor over the
+top-k cosine lists (dynamic_entity_resolution.py:247-382), top-n
+neighbor heaps (similaritylist.py:133-151), hub cap (..:283-289).
+All become window functions + equi-joins on the scored-pair DataFrame.
+
+Determinism: every ordering uses (score desc, partner id asc) so ties
+resolve identically at any parallelism (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+
+
+def _directed(scored: DataFrame) -> DataFrame:
+    """Pair rows -> both directions (src, dst, score) for per-record
+    neighbor-list semantics."""
+    base = scored.select(
+        F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst"), "score"
+    )
+    return base.union(
+        scored.select(
+            F.col("conv_id_b").alias("src"), F.col("conv_id_a").alias("dst"), "score"
+        )
+    )
+
+
+def top_n_neighbors(scored: DataFrame, n: int) -> DataFrame:
+    """D6: per record keep n best neighbors (window top-k replaces the
+    reference's min-heap)."""
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        _directed(scored)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+    )
+
+
+def ratio_test(directed_ranked: DataFrame, ratio: float, delta: float = 0.0) -> DataFrame:
+    """D1: keep a record's best edge only if s1/s2 >= ratio (and
+    s1-s2 >= delta); lead() supplies s2 (the reference reads the
+    second-best from the sorted top-k list)."""
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    with_next = directed_ranked.withColumn("s2", F.lead("score").over(w))
+    best = with_next.where(F.col("rank") == 1)
+    passes = (
+        F.col("s2").isNull()
+        | (
+            (F.col("score") / F.greatest(F.col("s2"), F.lit(1e-9)) >= F.lit(ratio))
+            & (F.col("score") - F.col("s2") >= F.lit(delta))
+        )
+    )
+    return best.where(passes)
+
+
+def mutual_top1(best_edges: DataFrame) -> DataFrame:
+    """D3: reciprocal nearest neighbor — keep (u,v) iff (v,u) is also a
+    best edge. One equi-self-join."""
+    other = best_edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return best_edges.join(other, on=["src", "dst"], how="left_semi")
+
+
+def hub_cap(pairs: DataFrame, max_degree: int) -> DataFrame:
+    """D4/J11: drop records appearing in more than max_degree pairs
+    (np.bincount filter in the reference)."""
+    deg = (
+        _directed(pairs.select("conv_id_a", "conv_id_b", F.lit(0.0).alias("score")))
+        .groupBy("src")
+        .count()
+    )
+    hot = deg.where(F.col("count") > max_degree).select(F.col("src").alias("hot_id"))
+    step1 = pairs.join(hot, pairs["conv_id_a"] == hot["hot_id"], "left_anti")
+    return step1.join(hot, step1["conv_id_b"] == hot["hot_id"], "left_anti")
+
+
+def decide_matches(scored: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """D5 composition: threshold pass-through (D2) ∪ ratio-tested best
+    edges (D1, optionally mutual D3), all above match_threshold; output
+    canonical match pairs with decision provenance."""
+    sc = cfg.scoring
+    direct = scored.where(F.col("score") >= sc.direct_threshold).select(
+        "conv_id_a", "conv_id_b", "score", F.lit("direct").alias("decision")
+    )
+    ranked = top_n_neighbors(scored, sc.top_k)
+    best = ratio_test(ranked, sc.ratio_threshold)
+    if sc.mutual_only:
+        best = mutual_top1(best.select("src", "dst", "score"))
+    tested = (
+        best.where(F.col("score") >= sc.match_threshold)
+        .select(
+            F.least("src", "dst").alias("conv_id_a"),
+            F.greatest("src", "dst").alias("conv_id_b"),
+            "score",
+            F.lit("ratio").alias("decision"),
+        )
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+    )
+    return (
+        direct.unionByName(tested)
+        .groupBy("conv_id_a", "conv_id_b")
+        .agg(F.max("score").alias("score"), F.min("decision").alias("decision"))
+    )

@@ -1,0 +1,137 @@
+"""End-to-end batch ER pipeline (SURVEY.md §3.1-3.2 re-expressed).
+
+Reference lifecycle (batch_driver main.py:46-115 + smatch decision
+path kafkaconsumer.py:204-247): load → graph → walks → embeddings →
+top-k cosine → ratio/RNN filter → similarity structure → groups.
+
+Spark lifecycle: transcripts → assemble → featurize → blocking tables
+→ candidate pairs → scores → decisions → connected components →
+clusters (+ audit). Each stage is a pure DataFrame function; this
+driver only sequences them and (optionally) checkpoints stage outputs
+for resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+from energy_aware_entity_resolution_spark.operators.assemble import (
+    assemble_conversations,
+)
+from energy_aware_entity_resolution_spark.operators.audit import (
+    StageMetrics,
+    match_state,
+    partition_lineage,
+)
+from energy_aware_entity_resolution_spark.operators.blocking import (
+    featurize,
+    lsh_bands,
+)
+from energy_aware_entity_resolution_spark.operators.candidates import candidate_pairs
+from energy_aware_entity_resolution_spark.operators.clustering import (
+    connected_components,
+)
+from energy_aware_entity_resolution_spark.operators.decision import decide_matches
+from energy_aware_entity_resolution_spark.operators.scoring import score_pairs
+
+
+@dataclass
+class PipelineResult:
+    features: DataFrame
+    candidates: DataFrame
+    scored: DataFrame
+    matches: DataFrame
+    clusters: DataFrame
+    audit: DataFrame | None
+    metrics: StageMetrics
+
+
+def _maybe_checkpoint(df: DataFrame, cfg: PipelineConfig, name: str) -> DataFrame:
+    """Write a stage table to the checkpoint dir and read it back —
+    truncates lineage AND gives the incremental/resume path a durable
+    snapshot (north_rule: resumable from candidate-pair + component
+    state)."""
+    if not cfg.checkpoint_dir:
+        return df
+    path = os.path.join(cfg.checkpoint_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
+    cfg = cfg or PipelineConfig()
+    spark = transcripts.sparkSession
+    metrics = StageMetrics(cfg.run_id)
+
+    t0 = time.monotonic()
+    assembled = assemble_conversations(transcripts)
+    features = featurize(assembled, cfg)
+    features = _maybe_checkpoint(features, cfg, "features")
+    metrics.record("featurize", t0)
+
+    t0 = time.monotonic()
+    bands = lsh_bands(features, cfg)
+    cands = candidate_pairs(features, bands, cfg)
+    cands = _maybe_checkpoint(cands, cfg, "candidate_pairs")
+    metrics.record("candidates", t0)
+
+    t0 = time.monotonic()
+    scored = score_pairs(cands, features, cfg)
+    scored = _maybe_checkpoint(scored, cfg, "scored_pairs")
+    metrics.record("scoring", t0)
+
+    t0 = time.monotonic()
+    matches = decide_matches(scored, cfg)
+    matches = _maybe_checkpoint(matches, cfg, "matches")
+    metrics.record("decision", t0)
+
+    t0 = time.monotonic()
+    edges = matches.select(
+        F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+    )
+    cc_dir = (
+        os.path.join(cfg.checkpoint_dir, "cc") if cfg.checkpoint_dir else None
+    )
+    comp = connected_components(
+        edges, max_iterations=cfg.cluster.max_iterations, checkpoint_dir=cc_dir
+    )
+    # singletons: every conversation is its own component unless matched
+    all_ids = features.select("conv_id")
+    clusters = (
+        all_ids.join(comp, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
+        )
+    )
+    clusters = _maybe_checkpoint(clusters, cfg, "clusters")
+    metrics.record("clustering", t0)
+
+    audit = None
+    if cfg.audit_enabled:
+        audit = match_state(matches, stage="CM", run_id=cfg.run_id).drop("run_id")
+        audit = audit.withColumn("run_id", F.lit(cfg.run_id))
+        lineage = partition_lineage(matches, "matches", cfg.run_id)
+        if cfg.checkpoint_dir:
+            audit.write.mode("overwrite").parquet(
+                os.path.join(cfg.checkpoint_dir, "audit")
+            )
+            lineage.write.mode("overwrite").parquet(
+                os.path.join(cfg.checkpoint_dir, "lineage")
+            )
+
+    return PipelineResult(
+        features=features,
+        candidates=cands,
+        scored=scored,
+        matches=matches,
+        clusters=clusters,
+        audit=audit,
+        metrics=metrics,
+    )

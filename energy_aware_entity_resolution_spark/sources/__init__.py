@@ -1,0 +1,6 @@
+from energy_aware_entity_resolution_spark.sources.transcripts import (
+    generate_labeled_pairs,
+    generate_transcripts,
+)
+
+__all__ = ["generate_transcripts", "generate_labeled_pairs"]

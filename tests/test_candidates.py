@@ -1,0 +1,110 @@
+"""Blocking + candidate generation (J1/J2/J8/J11, E1, salting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+from energy_aware_entity_resolution_spark.operators.assemble import (
+    assemble_conversations,
+)
+from energy_aware_entity_resolution_spark.operators.blocking import (
+    block_stats,
+    cap_blocks,
+    featurize,
+    lsh_bands,
+)
+from energy_aware_entity_resolution_spark.operators.candidates import (
+    canonical_pairs,
+    exact_pairs,
+    lsh_pairs,
+    salted_self_join_pairs,
+    sorted_neighborhood_pairs,
+)
+
+CFG = PipelineConfig()
+
+
+def _features(spark, transcripts):
+    return featurize(assemble_conversations(transcripts), CFG).cache()
+
+
+def test_exact_pairs_find_planted_duplicates(spark, transcripts):
+    feats = _features(spark, transcripts)
+    pairs = {
+        (r["conv_id_a"], r["conv_id_b"]) for r in exact_pairs(feats).collect()
+    }
+    # slots 0 and 1 of every group are exact duplicates
+    for g in range(20):
+        a, b = f"conv_{g * 10:08d}", f"conv_{g * 10 + 1:08d}"
+        assert (a, b) in pairs, (a, b)
+    # exact pairs must actually have identical signatures
+    feats_sig = {r["conv_id"]: r["sig"] for r in feats.select("conv_id", "sig").collect()}
+    for a, b in pairs:
+        assert feats_sig[a] == feats_sig[b]
+
+
+def test_lsh_recovers_near_duplicates(spark, transcripts):
+    feats = _features(spark, transcripts)
+    bands = lsh_bands(feats, CFG)
+    pairs = {
+        (r["conv_id_a"], r["conv_id_b"]) for r in lsh_pairs(bands, CFG).collect()
+    }
+    hits = 0
+    for g in range(20):
+        a, c = f"conv_{g * 10:08d}", f"conv_{g * 10 + 2:08d}"
+        if (a, c) in pairs:
+            hits += 1
+    assert hits >= 19  # LSH is probabilistic; 32 bands x 4 rows ≈ certain here
+
+
+def test_block_cap_removes_mega_blocks(spark, transcripts):
+    feats = _features(spark, transcripts)
+    bands = lsh_bands(feats, CFG)
+    capped = cap_blocks(bands, ["band_id", "band_hash"], CFG.blocking.max_block_size)
+    sizes = capped.groupBy("band_id", "band_hash").count()
+    assert sizes.where(F.col("count") > CFG.blocking.max_block_size).count() == 0
+    stats = block_stats(bands, ["band_id", "band_hash"]).collect()[0]
+    assert stats["n_blocks"] > 0
+
+
+def test_salted_self_join_equals_plain_join(spark):
+    df = spark.createDataFrame(
+        [(f"id{i:02d}", f"k{i % 3}") for i in range(30)], "conv_id string, key string"
+    )
+    plain = (
+        df.alias("a")
+        .join(df.alias("b"), "key")
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+    )
+    salted = salted_self_join_pairs(df, ["key"], "conv_id", salt_buckets=4)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    assert salted.count() == plain.count()
+
+
+def test_canonical_pairs_dedupe_and_order(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("c", "c"), ("a", "c")],
+        "conv_id_a string, conv_id_b string",
+    )
+    out = canonical_pairs(df).collect()
+    pairs = {(r["conv_id_a"], r["conv_id_b"]) for r in out}
+    assert pairs == {("a", "b"), ("a", "c")}
+
+
+def test_sorted_neighborhood_pairs_nearby_sigs(spark, transcripts):
+    feats = _features(spark, transcripts)
+    sn = sorted_neighborhood_pairs(feats, CFG)
+    got = sn.count()
+    assert got > 0
+    # exact dup sigs are identical -> adjacent in key order -> paired
+    pairs = {(r["conv_id_a"], r["conv_id_b"]) for r in sn.collect()}
+    found = sum(
+        1 for g in range(20) if (f"conv_{g * 10:08d}", f"conv_{g * 10 + 1:08d}") in pairs
+    )
+    assert found >= 15
