@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship document-dedup clustering on sf0.001.
+- ``queries()``: one entry per implemented operator family from
+  SURVEY.md §2 (+ the training-data ops), each over the driver's
+  parquet tables so the DuckDB oracle can recompute it.
+- ``oracle_sql()``: ANSI-SQL twins. Operators that are not
+  SQL-expressible (iterative connected components, the transcript ER
+  pipeline itself) have queries() entries without oracles — the driver
+  records rows-only checks for those.
+
+Cross-engine determinism notes: hashes use the md5-60bit portable
+family (functions/portable_hash.py), floats are rounded to 6 dp before
+comparison, and every ordering carries an integer tie-break.
 """
 
 from __future__ import annotations
@@ -12,27 +19,675 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+from energy_aware_entity_resolution_spark.functions.cleaning import (
+    clean_text_col,
+    signature_col,
+    tokens_col,
+)
+from energy_aware_entity_resolution_spark.functions.keys import bitmask_col
+from energy_aware_entity_resolution_spark.functions.portable_hash import (
+    md5_hash60_col,
+    md5_hash60_sql,
+)
+from energy_aware_entity_resolution_spark.functions.textstats import (
+    bpe_ish_token_count_col,
+    distinct_token_ratio_col,
+    fingerprint_col,
+    lang_guess_col,
+    quality_score_col,
+    token_count_col,
+)
+from energy_aware_entity_resolution_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_band_keys_portable,
+    minhash_signatures_portable,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from energy_aware_entity_resolution_spark.operators.similarity_search import (
+    brute_force_topk,
+    sign_lsh_buckets,
+)
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate document clustering on sf0.001 —
+    exact-hash edges ∪ MinHash-LSH candidate edges → connected
+    components → (doc_id, component_id)."""
+    from energy_aware_entity_resolution_spark.operators.clustering import (
+        connected_components,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _read(spark, sf_dir, "documents")
+    exact = exact_dedup_groups(docs)
+    exact_edges = (
+        docs.select("doc_id", md5_hash60_col(F.col("text")).alias("text_hash"))
+        .join(exact.where(F.col("n_dups") > 1), "text_hash")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(
+            F.col("keep_id").cast("string").alias("src"),
+            F.col("doc_id").cast("string").alias("dst"),
+        )
+    )
+    near = minhash_dedup_pairs(docs, k=16, bands=4, rows=4).select(
+        F.col("doc_id_a").cast("string").alias("src"),
+        F.col("doc_id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(exact_edges.union(near))
+    all_ids = docs.select(F.col("doc_id").cast("string").alias("conv_id"))
+    return (
+        all_ids.join(comp, "conv_id", "left")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.coalesce("component_id", F.col("conv_id")).cast("string").alias(
+                "component_id"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------- queries
+def _q_assemble_events(spark, sf_dir):
+    """P9 conversation assembly analog: window-ordered concatenation."""
+    ev = _read(spark, sf_dir, "events")
+    turn = F.struct("ts", "event_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(turn)).alias("seq"))
+        .select(
+            "user_id",
+            F.size("seq").alias("n_events"),
+            F.array_join(
+                F.transform("seq", lambda t: t["event_type"]), " "
+            ).alias("event_seq"),
+        )
+    )
+
+
+def _q_clean_tokens(spark, sf_dir):
+    """P1-P5: cleaning + tokenization + canonical signature."""
+    docs = _read(spark, sf_dir, "documents")
+    cleaned = clean_text_col(F.col("text"))
+    toks = tokens_col(cleaned)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.size(toks).alias("n_tokens"),
+        signature_col(toks).alias("sig"),
+    )
+
+
+def _q_bitmask_blocks(spark, sf_dir):
+    """P6/J1/A1: 36-bit char bitmask blocking key histogram."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(bitmask_col(clean_text_col(F.col("text"))).alias("bitmask"))
+        .groupBy("bitmask")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    """J2/J6: exact dedup groups by portable text hash."""
+    return exact_dedup_groups(_read(spark, sf_dir, "documents"))
+
+
+def _q_token_idf(spark, sf_dir):
+    """A3/A4: document frequency + IDF per token."""
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    toks = F.explode(
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+        )
+    ).alias("token")
+    return (
+        docs.select(toks)
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "token",
+            "df",
+            F.round(F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)), 6).alias("idf"),
+        )
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    """D6/T1/T2: window top-k per group."""
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+def _q_ratio_test_orders(spark, sf_dir):
+    """D1: best/second-best ratio + delta test via lead()."""
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "s2", F.lead("l_extendedprice").over(w)
+    )
+    best = ranked.where(F.col("rn") == 1).select(
+        "l_orderkey",
+        F.col("l_extendedprice").alias("s1"),
+        F.coalesce("s2", F.lit(-1.0)).alias("s2"),
+    )
+    return best.where(
+        (F.col("s2") < 0) | (F.round(F.col("s1") / F.col("s2"), 6) >= 1.2)
+    ).select("l_orderkey", F.round("s1", 6).alias("s1"), F.round("s2", 6).alias("s2"))
+
+
+def _q_mutual_top1(spark, sf_dir):
+    """D3: reciprocal nearest neighbor as one equi-join (customers ↔
+    suppliers within a nation by closest account balance)."""
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    pairs = c.join(s, c["c_nationkey"] == s["s_nationkey"]).select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 4).alias("diff"),
+    )
+    wc = Window.partitionBy("c_custkey").orderBy(F.asc("diff"), F.asc("s_suppkey"))
+    ws = Window.partitionBy("s_suppkey").orderBy(F.asc("diff"), F.asc("c_custkey"))
+    best_c = pairs.withColumn("r", F.row_number().over(wc)).where(F.col("r") == 1).drop("r")
+    best_s = pairs.withColumn("r", F.row_number().over(ws)).where(F.col("r") == 1).drop("r")
+    return best_c.join(best_s, ["c_custkey", "s_suppkey", "diff"], "inner").select(
+        "c_custkey", "s_suppkey", "diff"
+    )
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    """J8 (index analog): portable k=16 MinHash signatures, exploded."""
+    return minhash_signatures_portable(_read(spark, sf_dir, "documents"), k=16)
+
+
+def _q_lsh_band_keys(spark, sf_dir):
+    """J8: LSH banding keys (4 bands × 4 rows)."""
+    sigs = minhash_signatures_portable(_read(spark, sf_dir, "documents"), k=16)
+    return lsh_band_keys_portable(sigs, bands=4, rows=4)
+
+
+def _q_minhash_dedup_pairs(spark, sf_dir):
+    """J8+J11+E1: near-dup candidate pairs via capped LSH band join."""
+    return minhash_dedup_pairs(_read(spark, sf_dir, "documents"), k=16, bands=4, rows=4)
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    """M3 corpus-wide: token-set Jaccard pairs within (lang, source)."""
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), ["lang", "source"], threshold=0.5
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    """SimHash-32 fingerprints (near-dup family)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col(F.col("text"), bits=32).alias("simhash"))
+
+
+def _q_embedding_topk(spark, sf_dir):
+    """J7/M1: exact brute-force cosine top-5 for sampled queries."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_embedding_lsh_buckets(spark, sf_dir):
+    """J8 (vector flavor): sign-LSH bucket assignment."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return sign_lsh_buckets(emb, n_bits=4).select("vec_id", "bucket")
+
+
+def _q_lang_quality(spark, sf_dir):
+    """Text analysis: language-ID heuristic + quality scoring + token
+    counting (training-data pipeline ops)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_guess_col(F.col("text")).alias("lang_guess"),
+        quality_score_col(F.col("text")).alias("quality"),
+        token_count_col(F.col("text")).alias("n_tokens_ws"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_tokens_bpe"),
+        F.round(distinct_token_ratio_col(F.col("text")), 6).alias("distinct_ratio"),
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (min 8-shingle md5-60bit)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(F.col("text"), w=8).alias("fingerprint"))
+
+
+def _q_sessionize_events(spark, sf_dir):
+    """W2 analog: sessionization by 30-min gaps (lag + cumsum)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+    # epoch conversion matches DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", F.coalesce(gap, F.lit(0)))
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        (F.max("session_idx") + 1).cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_window_hourly(spark, sf_dir):
+    """W2: tumbling 1h event-time window aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def _q_sn_blocks(spark, sf_dir):
+    """Sorted-neighborhood ranks within signature-prefix buckets."""
+    docs = _read(spark, sf_dir, "documents")
+    sig = signature_col(tokens_col(clean_text_col(F.col("text"))))
+    base = docs.select("doc_id", sig.alias("sig"))
+    w = Window.partitionBy(F.substring("sig", 1, 2)).orderBy("sig", "doc_id")
+    return base.select(
+        "doc_id",
+        F.substring("sig", 1, 2).alias("bucket"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def _q_hub_cap(spark, sf_dir):
+    """D4/J11: degree count + hub filter over the orders graph
+    (customers with more than 12 orders are 'hubs')."""
+    o = _read(spark, sf_dir, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count("*").alias("degree"))
+    return deg.where(F.col("degree") <= 12)
+
+
+# ---- transcript ER pipeline (not SQL-expressible → rows-only checks)
+def _transcripts(spark, n=400):
+    from energy_aware_entity_resolution_spark.sources import generate_transcripts
+
+    return generate_transcripts(spark, n, seed=42)
+
+
+def _q_er_clusters(spark, sf_dir):
+    """Flagship transcript ER: full blocking→scoring→decision→CC."""
+    from energy_aware_entity_resolution_spark.plans import run_pipeline
+
+    res = run_pipeline(_transcripts(spark), PipelineConfig())
+    return res.clusters
+
+
+def _q_er_matches(spark, sf_dir):
+    from energy_aware_entity_resolution_spark.plans import run_pipeline
+
+    res = run_pipeline(_transcripts(spark), PipelineConfig())
+    return res.matches.select(
+        "conv_id_a", "conv_id_b", F.round("score", 6).alias("score"), "decision"
+    )
+
+
+def _q_er_eval_grid(spark, sf_dir):
+    from energy_aware_entity_resolution_spark.operators.evaluation import (
+        evaluation_grid,
+    )
+    from energy_aware_entity_resolution_spark.plans import run_pipeline
+    from energy_aware_entity_resolution_spark.sources import generate_labeled_pairs
+
+    res = run_pipeline(_transcripts(spark), PipelineConfig())
+    truth = generate_labeled_pairs(spark, 400, seed=42).where(F.col("label") == 1)
+    grid = evaluation_grid(
+        res.scored.select("conv_id_a", "conv_id_b", "score"),
+        truth.select("conv_id_a", "conv_id_b"),
+        thresholds=[0.9, 0.7, 0.5],
+        ks=[1, 5, 10],
+    )
+    return grid.select(
+        "seuil", "k", "tp", "fp", "fn", F.round("f1", 6).alias("f1")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "assemble_events": _q_assemble_events,
+        "clean_tokens": _q_clean_tokens,
+        "bitmask_blocks": _q_bitmask_blocks,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "token_idf": _q_token_idf,
+        "topk_per_group": _q_topk_per_group,
+        "ratio_test_orders": _q_ratio_test_orders,
+        "mutual_top1": _q_mutual_top1,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_band_keys": _q_lsh_band_keys,
+        "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "simhash": _q_simhash,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_lsh_buckets": _q_embedding_lsh_buckets,
+        "lang_quality": _q_lang_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "sessionize_events": _q_sessionize_events,
+        "window_hourly": _q_window_hourly,
+        "sn_blocks": _q_sn_blocks,
+        "hub_cap": _q_hub_cap,
+        "er_clusters": _q_er_clusters,
+        "er_matches": _q_er_matches,
+        "er_eval_grid": _q_er_eval_grid,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracles
+_H = md5_hash60_sql  # portable md5-60bit hash fragment builder
+
+_CLEAN = (
+    "regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', '_', 'g'),"
+    " '^_+|_+$', '', 'g')"
+)
+_WS_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+_WS_DISTINCT = f"list_distinct({_WS_TOKENS})"
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+_BITMASK_SQL = " + ".join(
+    f"(CASE WHEN contains(cleaned, '{ch}') THEN {1 << i}::BIGINT ELSE 0 END)"
+    for i, ch in enumerate(_ALPHABET)
+)
+
+# shared minhash fragment: one row per (doc_id, i, minhash)
+_MINHASH_CTE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_WS_DISTINCT}) AS token FROM documents
+), hashed AS (
+    SELECT doc_id, ({_H('token')} % 2147483648) AS x31 FROM toks
+), perms AS (
+    SELECT doc_id, x31, i
+    FROM hashed, (SELECT unnest(range(0, 16)) AS i)
+), vals AS (
+    SELECT doc_id, i,
+      (((((1103515245::BIGINT * (i + 1) + 12345) % 2147483648) | 1))
+        * x31
+        + ((69069::BIGINT * (i + 1) + 1) % 2147483648)) % 2147483647 AS hv
+    FROM perms
+)
+SELECT doc_id, i, min(hv) AS minhash FROM vals GROUP BY doc_id, i
+"""
+
+_LANG_MARKERS_SQL = {
+    "en": "['the','and','of','to','is','a']",
+    "fr": "['le','la','et','les','des','un']",
+    "de": "['der','die','und','das','ist','ein']",
+    "es": "['el','los','que','una','por','para']",
+}
+
+
+def _lang_quality_sql() -> str:
+    hits = {
+        c: f"len(list_filter(toks, t -> list_contains({m}, t)))"
+        for c, m in _LANG_MARKERS_SQL.items()
+    }
+    # mirror lang_guess_col's fold: iterate langs in sorted order,
+    # strictly-greater wins
+    guess = "'und'"
+    best = "0"
+    for code in sorted(hits):
+        h = hits[code]
+        guess = f"(CASE WHEN {h} > {best} THEN '{code}' ELSE {guess} END)"
+        best = f"greatest({h}, {best})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_WS_TOKENS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, text, toks,
+    len(toks) AS n_ws,
+    CASE WHEN len(toks) > 0
+         THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS div,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mwl
+  FROM base
+)
+SELECT doc_id,
+  {guess} AS lang_guess,
+  round(
+    0.4 * (CASE WHEN n_ws >= 10 AND n_ws <= 1000 THEN 1.0
+                WHEN n_ws > 0 THEN 0.5 ELSE 0.0 END)
+    + 0.4 * div
+    + 0.2 * (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END),
+  6) AS quality,
+  n_ws AS n_tokens_ws,
+  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_bpe,
+  round(div, 6) AS distinct_ratio
+FROM stats
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "assemble_events": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq
+            FROM events GROUP BY user_id
+        """,
+        "clean_tokens": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS cleaned FROM documents),
+            t AS (SELECT doc_id, cleaned,
+                    list_distinct(list_filter(string_split(cleaned, '_'),
+                                  x -> x <> '' AND x <> 'nan')) AS toks
+                  FROM c)
+            SELECT doc_id, cleaned, len(toks) AS n_tokens,
+                   array_to_string(list_sort(toks), ' ') AS sig
+            FROM t
+        """,
+        "bitmask_blocks": f"""
+            WITH c AS (SELECT {_CLEAN} AS cleaned FROM documents)
+            SELECT ({_BITMASK_SQL}) AS bitmask, count(*) AS n_docs
+            FROM c GROUP BY 1
+        """,
+        "exact_dup_groups": f"""
+            SELECT {_H('text')} AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "token_idf": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_WS_DISTINCT}) AS token FROM documents
+            ), n AS (SELECT count(*) AS n FROM documents)
+            SELECT token, count(*) AS df,
+                   round(ln((n.n + 1.0) / (count(*) + 1.0)), 6) AS idf
+            FROM toks, n GROUP BY token, n.n
+        """,
+        "topk_per_group": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+              SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rank
+              FROM lineitem) WHERE rank <= 3
+        """,
+        "ratio_test_orders": """
+            WITH ranked AS (
+              SELECT l_orderkey, l_extendedprice,
+                     row_number() OVER w AS rn,
+                     lead(l_extendedprice) OVER w AS s2
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice DESC, l_linenumber ASC)
+            )
+            SELECT l_orderkey, round(l_extendedprice, 6) AS s1,
+                   round(coalesce(s2, -1.0), 6) AS s2
+            FROM ranked
+            WHERE rn = 1 AND (s2 IS NULL OR round(l_extendedprice / s2, 6) >= 1.2)
+        """,
+        "mutual_top1": """
+            WITH pairs AS (
+              SELECT c_custkey, s_suppkey,
+                     round(abs(c_acctbal - s_acctbal), 4) AS diff
+              FROM customer JOIN supplier ON c_nationkey = s_nationkey
+            ), best_c AS (
+              SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                ORDER BY diff ASC, s_suppkey ASC) AS r FROM pairs) WHERE r = 1
+            ), best_s AS (
+              SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY s_suppkey
+                ORDER BY diff ASC, c_custkey ASC) AS r FROM pairs) WHERE r = 1
+            )
+            SELECT bc.c_custkey, bc.s_suppkey, bc.diff
+            FROM best_c bc JOIN best_s bs
+              ON bc.c_custkey = bs.c_custkey AND bc.s_suppkey = bs.s_suppkey
+             AND bc.diff = bs.diff
+        """,
+        "minhash_signatures": _MINHASH_CTE,
+        "lsh_band_keys": f"""
+            WITH sigs AS ({_MINHASH_CTE})
+            SELECT doc_id, (i // 4)::INT AS band_id,
+                   string_agg(minhash::VARCHAR, '-' ORDER BY i) AS band_key
+            FROM sigs GROUP BY doc_id, (i // 4)
+        """,
+        "minhash_dedup_pairs": f"""
+            WITH sigs AS ({_MINHASH_CTE}),
+            keys AS (
+              SELECT doc_id, (i // 4)::INT AS band_id,
+                     string_agg(minhash::VARCHAR, '-' ORDER BY i) AS band_key
+              FROM sigs GROUP BY doc_id, (i // 4)
+            ), capped AS (
+              SELECT * FROM keys QUALIFY
+                count(*) OVER (PARTITION BY band_id, band_key) <= 200
+            )
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM capped a JOIN capped b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, lang, source,
+                     list_sort({_WS_DISTINCT}) AS toks
+              FROM documents
+            )
+            SELECT * FROM (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                       / greatest(len(list_distinct(a.toks || b.toks)), 1), 6)
+                       AS jaccard
+              FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+              WHERE a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.5
+        """,
+        "simhash": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({_WS_DISTINCT}, tok -> {_H('tok')}) AS hs
+              FROM documents
+            )
+            SELECT doc_id,
+              list_sum(list_transform(range(0, 32), j ->
+                CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+            FROM t
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id % 25 = 0),
+            scored AS (
+              SELECT q.query_id, v.vec_id AS neighbor_id,
+                round(
+                  list_sum(list_transform(range(1, len(q.qv) + 1),
+                    j -> q.qv[j]::DOUBLE * v.embedding[j]::DOUBLE))
+                  / greatest(
+                      sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x)))
+                    * sqrt(list_sum(list_transform(v.embedding, x -> x::DOUBLE * x))),
+                    1e-12),
+                6) AS cosine
+              FROM embeddings v, q WHERE v.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "embedding_lsh_buckets": """
+            SELECT vec_id,
+              ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)) AS bucket
+            FROM embeddings
+        """,
+        "lang_quality": _lang_quality_sql(),
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+              list_min(list_transform(
+                range(1, greatest(length(text) - 7, 1) + 1),
+                i -> {_H('substr(text, i, 8)')})) AS fingerprint
+            FROM documents
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g
+            )
+            SELECT user_id, (max(session_idx) + 1)::BIGINT AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "window_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sn_blocks": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS cleaned FROM documents),
+            t AS (SELECT doc_id,
+                    array_to_string(list_sort(list_distinct(
+                      list_filter(string_split(cleaned, '_'),
+                                  x -> x <> '' AND x <> 'nan'))), ' ') AS sig
+                  FROM c)
+            SELECT doc_id, substr(sig, 1, 2) AS bucket,
+                   row_number() OVER (PARTITION BY substr(sig, 1, 2)
+                                      ORDER BY sig, doc_id) AS rank
+            FROM t
+        """,
+        "hub_cap": """
+            SELECT o_custkey, count(*) AS degree FROM orders
+            GROUP BY o_custkey HAVING count(*) <= 12
+        """,
+    }

@@ -1,0 +1,187 @@
+"""Corpus deduplication operators over a documents table
+(doc_id, text, ...): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+These generalize the ER engine's blocking/candidate layer (J1/J2/J8)
+to the training-data-pipeline setting. Where results must be
+recomputable by the DuckDB oracle they use the portable md5-based hash
+family (functions/portable_hash.py); the transcript ER pipeline keeps
+the faster xxhash64/blake2b path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from energy_aware_entity_resolution_spark.functions.portable_hash import (
+    md5_hash60_col,
+    perm_hash_col,
+)
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by full-text hash: one groupBy, keeps the min doc_id
+    as representative (J6 semantics: dedup-before-index).
+    Output: (text_hash, keep_id, n_dups)."""
+    return (
+        docs.select(
+            md5_hash60_col(F.col(text_col)).alias("text_hash"), F.col("doc_id")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents with exact duplicates removed (keep min doc_id)."""
+    keep = exact_dedup_groups(docs, text_col).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def token_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token) distinct incidence — the G1 analog for documents."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    )
+    return docs.select("doc_id", F.explode(toks).alias("token"))
+
+
+def minhash_signatures_portable(
+    docs: DataFrame, k: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Exploded portable MinHash: (doc_id, i, minhash) for i in [0,k).
+
+    Token hash = md5-60bit mod 2^31; permutation i = universal hash
+    with arithmetically-derived coefficients, min per (doc, i). All of
+    it is one explode + k column mins via a stack — expressed as
+    explode over a literal permutation-index array then groupBy, which
+    keeps everything JVM-side and oracle-recomputable.
+    """
+    toks = token_table(docs, text_col).withColumn(
+        "x31", md5_hash60_col(F.col("token")) % F.lit(2**31)
+    )
+    perms = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    hashed = toks.select("doc_id", "x31", perms)
+    # perm coefficients derived from i as columns (same formula as
+    # portable_hash.perm_coeff_*, vectorized over the i column)
+    a = (
+        (F.lit(1103515245).cast("long") * (F.col("i") + 1) + 12345)
+        % F.lit(2**31)
+    ).bitwiseOR(F.lit(1).cast("long"))
+    b = (F.lit(69069).cast("long") * (F.col("i") + 1) + 1) % F.lit(2**31)
+    val = (a * F.col("x31") + b) % F.lit(2147483647)
+    return (
+        hashed.withColumn("hv", val)
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_band_keys_portable(
+    signatures: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """(doc_id, band_id, band_key) from exploded signatures; band_key
+    is the '-'-joined hash run (string — portable, unlike xxhash64)."""
+    return (
+        signatures.withColumn("band_id", (F.col("i") / rows).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "-",
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    max_block: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding:
+    signature → band keys → capped self-join (same shape as the
+    transcript LSH path, J8/J11)."""
+    keys = lsh_band_keys_portable(
+        minhash_signatures_portable(docs, k, text_col), bands, rows
+    )
+    sizes = keys.groupBy("band_id", "band_key").count()
+    keep = sizes.where(F.col("count") <= max_block).drop("count")
+    capped = keys.join(keep, ["band_id", "band_key"], "left_semi")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_col(text_col: F.Column, bits: int = 32) -> F.Column:
+    """SimHash over whitespace tokens: bit j of the result is the sign
+    of sum over tokens of (+1 if bit j of md5-60bit(token) else -1).
+
+    Pure column expression: tokens -> hashes -> per-bit fold. bits<=32
+    keeps the bit loop small enough for codegen.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+    )
+    hs = F.transform(toks, md5_hash60_col)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_sum = F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1).otherwise(-1),
+        )
+        out = out + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs within explicit blocks (the
+    M3 scorer applied corpus-wide; blocks bound the self-join)."""
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+            )
+        )
+    )
+    sel = docs.select("doc_id", *block_cols, toks.alias("toks"))
+    a = sel.alias("a")
+    b = sel.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(b, block_cols)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,155 @@
+"""Dedup operators + text-analysis functions + similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_aware_entity_resolution_spark.functions.portable_hash import (
+    md5_hash60_py,
+)
+from energy_aware_entity_resolution_spark.functions.textstats import (
+    lang_guess_col,
+    quality_score_col,
+    token_count_col,
+)
+from energy_aware_entity_resolution_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from energy_aware_entity_resolution_spark.operators.similarity_search import (
+    block_topk_applyinpandas,
+    brute_force_topk,
+    bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "en", "s0", 44),  # near dup
+        (3, "completely different text about spark engines", "en", "s0", 46),
+        (4, "le chat et la souris et le fromage des un", "fr", "s1", 41),
+        (5, "der hund und die katze das ist ein haus", "de", "s1", 40),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs)
+    dup = groups.where(F.col("n_dups") > 1).collect()
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0 and dup[0]["n_dups"] == 2
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert kept == {0, 2, 3, 4, 5}
+
+
+def test_exact_dedup_hash_is_portable(spark, docs):
+    g = exact_dedup_groups(docs).where(F.col("keep_id") == 0).collect()[0]
+    assert g["text_hash"] == md5_hash60_py(
+        "the quick brown fox jumps over the lazy dog"
+    )
+
+
+def test_minhash_dedup_finds_near_dup(spark, docs):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_dedup_pairs(docs, k=16, bands=4, rows=4).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup (J=0.8)
+    assert (0, 5) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, ["lang", "source"], 0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == pytest.approx(7 / 9, abs=0.01)  # 7 shared of 9 distinct
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dups_close(spark, docs):
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", simhash_col(F.col("text"), 32).alias("sh")
+        ).collect()
+    }
+    assert sh[0] == sh[1]  # identical text, identical simhash
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_textstats(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            lang_guess_col(F.col("text")).alias("lang"),
+            quality_score_col(F.col("text")).alias("q"),
+            token_count_col(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert out[0]["lang"] == "en"
+    assert out[4]["lang"] == "fr"
+    assert out[5]["lang"] == "de"
+    assert out[0]["n"] == 9
+    assert 0.0 <= out[0]["q"] <= 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 8))
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + rng.normal(scale=0.1, size=8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.where(F.col("vec_id") < 4)
+    out = brute_force_topk(vectors, q, k=3)
+    rows = out.collect()
+    assert len(rows) == 12
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, nbrs in by_q.items():
+        assert [r["rank"] for r in sorted(nbrs, key=lambda r: r["rank"])] == [1, 2, 3]
+        # same-cluster vectors should dominate the top ranks
+        top = min(nbrs, key=lambda r: r["rank"])
+        assert top["neighbor_id"] % 4 == qid % 4
+
+
+def test_bucketed_topk_approximates_brute_force(spark, vectors):
+    brute = brute_force_topk(vectors, vectors, k=1)
+    approx = bucketed_topk(vectors, k=1, n_bits=2)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # recall of top-1 under 2-bit LSH on clustered data should be high
+    assert len(a & b) / len(b) >= 0.6
+
+
+def test_block_topk_matches_brute_force_within_block(spark, vectors):
+    blocked = vectors.withColumn("blk", F.col("vec_id") % 4)
+    out = block_topk_applyinpandas(blocked, "blk", k=2)
+    rows = out.collect()
+    assert all(r["rank"] in (1, 2) for r in rows)
+    assert {r["query_id"] for r in rows} == set(range(40))
+    # within-block neighbors only
+    for r in rows:
+        assert r["query_id"] % 4 == r["neighbor_id"] % 4
