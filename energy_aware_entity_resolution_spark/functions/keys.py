@@ -55,11 +55,15 @@ def token_ngrams_col(tokens: Column, n: int = 2) -> Column:
     return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
-def sorted_neighborhood_key_col(sig: Column, prefix_len: int = 12) -> Column:
-    """Sorted-neighborhood sort key: prefix of the canonical signature.
-
-    Records whose sorted-token signatures share a prefix sort adjacently;
-    the SN operator then pairs each record with its w nearest neighbors
-    in key order (operators/candidates.py).
+def sorted_neighborhood_key_col(tokens: Column, prefix_len: int = 12) -> Column:
+    """Sorted-neighborhood sort key: prefix of the sorted ALPHABETIC
+    tokens. Numeric tokens (ids, amounts, dates) are near-unique per
+    record — a key starting with them sorts records randomly and the
+    neighborhood degenerates to noise; alphabetic content words make
+    near-duplicates sort adjacently (classic SN key design,
+    Hernández-Stolfo).
     """
-    return F.substring(sig, 1, prefix_len)
+    alpha = F.filter(tokens, lambda t: t.rlike("^[a-z]"))
+    return F.substring(
+        F.array_join(F.array_sort(F.array_distinct(alpha)), " "), 1, prefix_len
+    )

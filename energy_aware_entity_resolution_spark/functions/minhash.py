@@ -85,6 +85,56 @@ def make_minhash_udf(k: int = 128):
     return minhash_sig
 
 
+def make_minhash_embed_udf(k: int = 128, dim: int = 64):
+    """Fused MinHash + pooled-embedding UDF: one Arrow transfer of the
+    token column, one token-hash pass shared by both features (the two
+    separate UDFs each paid their own serialization + hashing).
+
+    Returns struct<minhash: array<long>, vec: array<float>>.
+    """
+    a, b = _coeffs(k)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("minhash", T.ArrayType(T.LongType())),
+                T.StructField("vec", T.ArrayType(T.FloatType())),
+            ]
+        )
+    )
+    def minhash_embed(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        with np.errstate(over="ignore"):
+            for tokens in it:
+                hmap = _token_hash64(tokens)
+                sigs = []
+                vecs = []
+                empty_sig = [int(x) for x in (a + b).astype(np.int64)]
+                for toks in tokens:
+                    if toks is None or len(toks) == 0:
+                        sigs.append(empty_sig)
+                        vecs.append([0.0] * dim)
+                        continue
+                    hs = np.fromiter(
+                        (hmap[t] for t in toks), dtype=np.uint64, count=len(toks)
+                    )
+                    sig = (a[:, None] * hs[None, :] + b[:, None]).min(axis=1)
+                    sigs.append([int(x) for x in sig.astype(np.int64)])
+                    # pooled embedding from the same 64-bit token hashes
+                    idx = (hs % np.uint64(dim)).astype(np.int64)
+                    sign = np.where(
+                        (hs >> np.uint64(62)) & np.uint64(1), 1.0, -1.0
+                    )
+                    vec = np.zeros(dim, dtype=np.float64)
+                    np.add.at(vec, idx, sign)
+                    n = np.linalg.norm(vec)
+                    if n > 0:
+                        vec /= n
+                    vecs.append(vec.astype(np.float32).tolist())
+                yield pd.DataFrame({"minhash": sigs, "vec": vecs})
+
+    return minhash_embed
+
+
 def band_table(
     df: DataFrame,
     sig_col: str = "minhash",

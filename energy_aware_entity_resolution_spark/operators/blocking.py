@@ -18,9 +18,6 @@ from energy_aware_entity_resolution_spark.functions.cleaning import (
     signature_col,
     tokens_col,
 )
-from energy_aware_entity_resolution_spark.functions.embeddings import (
-    make_pooled_embedding_udf,
-)
 from energy_aware_entity_resolution_spark.functions.keys import (
     bitmask_col,
     sig_hash_col,
@@ -28,7 +25,7 @@ from energy_aware_entity_resolution_spark.functions.keys import (
 )
 from energy_aware_entity_resolution_spark.functions.minhash import (
     band_table,
-    make_minhash_udf,
+    make_minhash_embed_udf,
 )
 
 
@@ -62,12 +59,22 @@ def featurize(assembled: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Exact-match signature/bitmask keep ALL tokens (exact semantics are
     whole-text equality, J2).
     """
-    minhash = make_minhash_udf(cfg.blocking.minhash_k)
-    embed = make_pooled_embedding_udf(cfg.scoring.embedding_dim)
+    minhash_embed = make_minhash_embed_udf(
+        cfg.blocking.minhash_k, cfg.scoring.embedding_dim
+    )
+    # drop the per-turn struct array before any shuffle/persist: the
+    # feature table is joined/cached repeatedly and must carry only
+    # what blocking+scoring read (turns are reconstructable from the
+    # transcripts table) — hand column pruning at the stage boundary
+    slim = assembled.drop("turns", "roles", "first_ts", "last_ts")
     tokenized = (
-        assembled.withColumn("cleaned", clean_text_col(F.col("doc")))
+        slim.withColumn("cleaned", clean_text_col(F.col("doc")))
         .withColumn("tokens", tokens_col(F.col("cleaned")))
     )
+    # stopword discovery runs two actions over the tokenized plan and
+    # the projection below reads it again — persist so assembly +
+    # cleaning execute once, not four times
+    tokenized = tokenized.persist()
     stop = corpus_stopwords(tokenized, cfg.blocking.df_stopword_ratio)
     stop_lit = F.array(*[F.lit(t) for t in stop]) if stop else F.array().cast(
         "array<string>"
@@ -84,9 +91,11 @@ def featurize(assembled: DataFrame, cfg: PipelineConfig) -> DataFrame:
         out.withColumn("sig_hash", sig_hash_col(F.col("sig")))
         .withColumn("bitmask", bitmask_col(F.col("sig")))
         .withColumn("rare_sig", signature_col(F.col("rare_tokens")))
-        .withColumn("sn_key", sorted_neighborhood_key_col(F.col("rare_sig")))
-        .withColumn("minhash", minhash(F.col("rare_tokens")))
-        .withColumn("vec", embed(F.col("rare_tokens")))
+        .withColumn("sn_key", sorted_neighborhood_key_col(F.col("rare_tokens")))
+        .withColumn("_mv", minhash_embed(F.col("rare_tokens")))
+        .withColumn("minhash", F.col("_mv.minhash"))
+        .withColumn("vec", F.col("_mv.vec"))
+        .drop("_mv")
     )
 
 

@@ -133,14 +133,24 @@ def sorted_neighborhood_pairs(features: DataFrame, cfg: PipelineConfig) -> DataF
         F.row_number()
         .over(Window.partitionBy(bucket).orderBy("sn_key", "conv_id"))
         .alias("rank"),
+    ).withColumn("blk", F.floor(F.col("rank") / w))
+    # |rank_b - rank| <= w implies the rank-blocks differ by at most 1,
+    # so join on (bucket, blk) with the left side exploded over
+    # {blk, blk+1} — the join is O(w) per row instead of O(bucket²)
+    left = ranked.select(
+        "bucket",
+        F.col("conv_id"),
+        F.col("rank"),
+        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("jblk"),
     )
     right = ranked.select(
         F.col("bucket"),
         F.col("conv_id").alias("conv_id_b"),
         F.col("rank").alias("rank_b"),
+        F.col("blk").alias("jblk"),
     )
     return (
-        ranked.join(right, on="bucket")
+        left.join(right, on=["bucket", "jblk"])
         .where(
             (F.col("rank_b") > F.col("rank"))
             & (F.col("rank_b") <= F.col("rank") + w)

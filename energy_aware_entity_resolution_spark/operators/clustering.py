@@ -87,11 +87,40 @@ def _last_complete_iteration(spark: SparkSession, checkpoint_dir: str) -> int:
     return best
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect edges and union-find on the
+    driver. Same adaptivity principle as broadcast joins — below the
+    threshold the distributed loop's per-round driver barriers cost
+    more than the whole graph. Produces IDENTICAL output semantics
+    (component id = min member id); equality with the distributed path
+    is asserted in tests."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in edges.select("src", "dst").collect():
+        ra, rb = find(row["src"]), find(row["dst"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "conv_id string, component_id string"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(src,dst) -> clusters(conv_id, component_id).
 
@@ -99,8 +128,20 @@ def connected_components(
     deterministic regardless of edge order or partitioning (the
     reference's merge is order-dependent; SURVEY.md §7.3 pins our
     semantics to the final transitive closure only).
+
+    Graphs at or below small_graph_threshold edges run on the driver
+    (see _driver_union_find); larger graphs run the distributed
+    large-star/small-star loop. Checkpoint/resume always uses the
+    distributed path.
     """
     spark = edges.sparkSession
+    if (
+        small_graph_threshold
+        and not checkpoint_dir
+        and not resume
+        and edges.limit(small_graph_threshold + 1).count() <= small_graph_threshold
+    ):
+        return _driver_union_find(edges)
     start = 0
     cur = _sym(edges).select(F.col("u").alias("src"), F.col("v").alias("dst"))
     if checkpoint_dir and resume:
@@ -110,20 +151,31 @@ def connected_components(
             start = last + 1
     cur = cur.localCheckpoint(eager=True)
 
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        """Cheap edge-set fingerprint: (count, xor of pair hashes).
+        One aggregate instead of two exceptAll shuffles per round; XOR
+        is order-independent and overflow-free under ANSI mode (both
+        star outputs are distinct, so set == multiset). A false
+        convergence needs a 64-bit collision between successive
+        rounds — negligible, and one extra round is the only cost."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = _sig(cur)
     for i in range(start, max_iterations):
         after_large = _large_star(_sym(cur))
         after_small = _small_star(after_large)
         after_small = after_small.localCheckpoint(eager=True)
         if checkpoint_dir:
             after_small.write.mode("overwrite").parquet(_state_path(checkpoint_dir, i))
-        # converged when the edge set is a fixpoint (star forest)
-        changed = (
-            after_small.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(after_small).limit(1).count()
-        )
+        cur_sig = _sig(after_small)
         cur = after_small
-        if changed == 0:
+        if cur_sig == prev_sig:
             break
+        prev_sig = cur_sig
 
     members = cur.select(
         F.col("src").alias("conv_id"), F.col("dst").alias("component_id")

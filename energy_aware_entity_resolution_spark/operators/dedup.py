@@ -141,18 +141,24 @@ def simhash_col(text_col: F.Column, bits: int = 32) -> F.Column:
         F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
     )
     hs = F.transform(toks, md5_hash60_col)
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        bit_sum = F.aggregate(
-            hs,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1).otherwise(-1),
-        )
-        out = out + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    # one fold producing the 32 per-bit vote counts (32 separate
+    # aggregate folds blow up codegen and re-walk the token array)
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    votes = F.aggregate(
+        hs,
+        F.array(*[F.lit(0) for _ in range(bits)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    bit_vals = F.zip_with(
+        votes,
+        pows,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def ngram_jaccard_pairs(

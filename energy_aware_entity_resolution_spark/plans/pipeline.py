@@ -53,11 +53,18 @@ class PipelineResult:
 
 
 def _maybe_checkpoint(df: DataFrame, cfg: PipelineConfig, name: str) -> DataFrame:
-    """Write a stage table to the checkpoint dir and read it back —
-    truncates lineage AND gives the incremental/resume path a durable
-    snapshot (north_rule: resumable from candidate-pair + component
-    state)."""
+    """Materialize a stage boundary.
+
+    With a checkpoint_dir: durable parquet snapshot + read-back
+    (north_rule: resumable from candidate-pair + component state).
+    Without: persist + eager count. The count is load-bearing: a lazy
+    persist lets AQE's concurrent broadcast-exchange jobs RACE to
+    populate the cache, each recomputing the whole upstream tree
+    (observed: five overlapping 12s jobs all running featurize).
+    """
     if not cfg.checkpoint_dir:
+        df = df.persist()
+        df.count()
         return df
     path = os.path.join(cfg.checkpoint_dir, name)
     df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,161 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference's streaming entry is a Kafka consumer with count windows
+(kafkaconsumer.py:404-524). The production-shaped Spark equivalent:
+
+    readStream (kafka | files) → parse → foreachBatch(incremental update)
+
+Count-based windows aren't native, so each micro-batch plays the role
+of one window (W1); `Trigger.AvailableNow` gives the reference's
+idle-timeout finalization (W3: drain everything, then stop); late data
+is bounded with a watermark when event-time windows are used (W6 — the
+reference has none; we add it on the windowed-aggregation path only).
+
+`stream_transcripts_demo` drives the whole loop from a parquet
+directory source so tests exercise the real streaming machinery
+(offsets, micro-batch planning, foreachBatch) without a broker. For
+Kafka, swap the reader for `spark.readStream.format("kafka")` +
+`from_json` — same downstream code (see `kafka_reader` below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+
+TRANSCRIPT_STRUCT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def file_reader(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Parquet-directory stream: each file (or group) = one micro-batch
+    = one count-window analog."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_STRUCT)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def kafka_reader(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
+    """Kafka JSON source (reference kafkaconsumer.py:448 decodes flat
+    JSON records). Requires the kafka connector jar at runtime."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), TRANSCRIPT_STRUCT).alias("r")
+    ).select("r.*")
+
+
+def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """W2/W6: event-time tumbling window aggregation with a watermark
+    bounding late data."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("win.start").alias("window_start"), "role", "n_turns")
+    )
+
+
+def stream_incremental_er(
+    stream: DataFrame,
+    cfg: PipelineConfig,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch wiring: every micro-batch of turns runs one
+    incremental ER round against the accumulated state (W4). Returns
+    the StreamingQuery; callers stop it or use Trigger.AvailableNow.
+    """
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        _batch_dir,
+        _incremental_candidates,
+        last_complete_batch,
+    )
+    from energy_aware_entity_resolution_spark.operators.assemble import (
+        assemble_conversations,
+    )
+    from energy_aware_entity_resolution_spark.operators.blocking import featurize
+    from energy_aware_entity_resolution_spark.operators.clustering import (
+        connected_components,
+    )
+    from energy_aware_entity_resolution_spark.operators.decision import (
+        decide_matches,
+    )
+    from energy_aware_entity_resolution_spark.operators.scoring import score_pairs
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        _FEATURE_COLS,
+    )
+    import os
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        b = last_complete_batch(state_dir) + 1
+        feats_new = featurize(assemble_conversations(batch_df), cfg)
+        bdir = _batch_dir(state_dir, b)
+        os.makedirs(bdir, exist_ok=True)
+        if b == 0:
+            all_feats = feats_new.select(*_FEATURE_COLS)
+            prev_matches = None
+        else:
+            prev = _batch_dir(state_dir, b - 1)
+            state = spark.read.parquet(os.path.join(prev, "features"))
+            all_feats = state.unionByName(feats_new.select(*_FEATURE_COLS))
+            prev_matches = spark.read.parquet(os.path.join(prev, "matches"))
+        all_feats.write.mode("overwrite").parquet(os.path.join(bdir, "features"))
+        all_feats = spark.read.parquet(os.path.join(bdir, "features"))
+        cands = _incremental_candidates(feats_new, all_feats, cfg)
+        new_matches = decide_matches(score_pairs(cands, all_feats, cfg), cfg)
+        all_matches = (
+            new_matches
+            if prev_matches is None
+            else prev_matches.unionByName(new_matches)
+            .groupBy("conv_id_a", "conv_id_b")
+            .agg(F.max("score").alias("score"), F.min("decision").alias("decision"))
+        )
+        all_matches.write.mode("overwrite").parquet(os.path.join(bdir, "matches"))
+        all_matches = spark.read.parquet(os.path.join(bdir, "matches"))
+        comp = connected_components(
+            all_matches.select(
+                F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+            )
+        )
+        clusters = (
+            all_feats.select("conv_id")
+            .join(comp, "conv_id", "left")
+            .select(
+                "conv_id",
+                F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
+            )
+        )
+        clusters.write.mode("overwrite").parquet(os.path.join(bdir, "clusters"))
+        with open(os.path.join(bdir, "_DONE"), "w") as f:
+            f.write(str(epoch_id))
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -97,6 +97,29 @@ def test_canonical_pairs_dedupe_and_order(spark):
     assert pairs == {("a", "b"), ("a", "c")}
 
 
+def test_sorted_neighborhood_block_join_equals_bruteforce(spark, transcripts):
+    """The O(w)-per-row rank-block join must produce exactly the pairs
+    with 0 < rank_b - rank <= w within each bucket (brute-force check
+    on the pandas side)."""
+    import pandas as pd
+
+    feats = _features(spark, transcripts)
+    sn = sorted_neighborhood_pairs(feats, CFG)
+    got = {(r["conv_id_a"], r["conv_id_b"]) for r in sn.collect()}
+
+    pdf = feats.select("conv_id", "sn_key").toPandas()
+    pdf["bucket"] = pdf["sn_key"].str.slice(0, 2)
+    want = set()
+    w = CFG.blocking.sorted_neighborhood_window
+    for _, grp in pdf.groupby("bucket"):
+        grp = grp.sort_values(["sn_key", "conv_id"]).reset_index(drop=True)
+        for i in range(len(grp)):
+            for j in range(i + 1, min(i + w + 1, len(grp))):
+                a, b = grp["conv_id"][i], grp["conv_id"][j]
+                want.add((min(a, b), max(a, b)))
+    assert got == want
+
+
 def test_sorted_neighborhood_pairs_nearby_sigs(spark, transcripts):
     feats = _features(spark, transcripts)
     sn = sorted_neighborhood_pairs(feats, CFG)

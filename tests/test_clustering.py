@@ -40,8 +40,20 @@ def _oracle(edges):
 
 def _spark_cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src string, dst string")
+    # default: force the distributed large/small-star path
+    kw.setdefault("small_graph_threshold", 0)
     out = connected_components(df, **kw)
     return {r["conv_id"]: r["component_id"] for r in out.collect()}
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    rnd = random.Random(11)
+    nodes = [f"p{i:03d}" for i in range(150)]
+    edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    fast = _spark_cc(spark, edges, small_graph_threshold=10**6)
+    dist = _spark_cc(spark, edges, small_graph_threshold=0)
+    assert fast == dist == _oracle(edges)
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])

@@ -1,0 +1,58 @@
+"""Incremental micro-batch mode (W1/W4/C4): converges to the batch
+result and resumes from a kill (north_rule checkpoint/resume)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+from energy_aware_entity_resolution_spark.plans import run_pipeline
+from energy_aware_entity_resolution_spark.streaming.incremental import (
+    last_complete_batch,
+    run_incremental,
+)
+
+
+def _cluster_sets(df):
+    """Cluster partition as a set of frozensets (component ids differ
+    between incremental and batch runs; the partition must not)."""
+    groups = {}
+    for r in df.collect():
+        groups.setdefault(r["component_id"], set()).add(r["conv_id"])
+    return {frozenset(v) for v in groups.values()}
+
+
+def test_incremental_matches_batch_partition(spark, transcripts, tmp_path):
+    batch = run_pipeline(transcripts, PipelineConfig())
+    inc = run_incremental(
+        transcripts, PipelineConfig(), str(tmp_path / "state"), n_batches=3
+    )
+    assert _cluster_sets(inc) == _cluster_sets(batch.clusters)
+
+
+def test_incremental_resume_after_kill(spark, transcripts, tmp_path):
+    state = str(tmp_path / "state2")
+    cfg = PipelineConfig()
+    # run only the first 2 of 4 batches ("crash" after batch 1)
+    first = transcripts.withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    )
+    run_incremental(
+        first.where(F.col("_b") <= 1).drop("_b"), cfg,
+        state, n_batches=2,
+    )
+    # pretend those two completed batches belong to a 4-batch run:
+    # resume must process batches 2..3 only and converge
+    assert last_complete_batch(state) == 1
+    final = run_incremental(transcripts, cfg, state, n_batches=4, resume=True)
+    full = run_incremental(
+        transcripts, cfg, str(tmp_path / "state3"), n_batches=4
+    )
+    assert _cluster_sets(final) == _cluster_sets(full)
+
+
+def test_incremental_round_snapshots_written(spark, transcripts, tmp_path):
+    state = str(tmp_path / "state4")
+    run_incremental(transcripts, PipelineConfig(), state, n_batches=2)
+    rounds = spark.read.parquet(f"{state}/scored_rounds")
+    assert {r["round"] for r in rounds.select("round").distinct().collect()} == {0, 1}
