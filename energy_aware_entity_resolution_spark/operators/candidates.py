@@ -67,6 +67,9 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     capped = cap_blocks(bands, ["band_id", "band_hash"], cfg.blocking.max_block_size)
     a = capped.alias("a")
     b = capped.alias("b")
+    # NOTE: not deduped here — candidate_pairs' terminal groupBy does
+    # the cross-band dedup; an extra dropDuplicates would be one more
+    # full shuffle of the largest intermediate in the pipeline
     return (
         a.join(b, on=["band_id", "band_hash"])
         .where(F.col("a.conv_id") < F.col("b.conv_id"))
@@ -74,7 +77,6 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.col("a.conv_id").alias("conv_id_a"),
             F.col("b.conv_id").alias("conv_id_b"),
         )
-        .dropDuplicates(["conv_id_a", "conv_id_b"])
         .withColumn("source", F.lit("lsh"))
     )
 
@@ -159,8 +161,7 @@ def sorted_neighborhood_pairs(features: DataFrame, cfg: PipelineConfig) -> DataF
             F.least("conv_id", "conv_id_b").alias("conv_id_a"),
             F.greatest("conv_id", "conv_id_b").alias("conv_id_b"),
         )
-        .dropDuplicates(["conv_id_a", "conv_id_b"])
-        .withColumn("source", F.lit("sn"))
+        .withColumn("source", F.lit("sn"))  # deduped by candidate_pairs
     )
 
 

@@ -87,10 +87,10 @@ def _last_complete_iteration(spark: SparkSession, checkpoint_dir: str) -> int:
     return best
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect edges and union-find on the
-    driver. Same adaptivity principle as broadcast joins — below the
-    threshold the distributed loop's per-round driver barriers cost
+def _driver_union_find(spark: SparkSession, edges) -> DataFrame:
+    """Small-graph fast path: union-find over collected edge rows on
+    the driver. Same adaptivity principle as broadcast joins — below
+    the threshold the distributed loop's per-round driver barriers cost
     more than the whole graph. Produces IDENTICAL output semantics
     (component id = min member id); equality with the distributed path
     is asserted in tests."""
@@ -103,16 +103,14 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in edges.select("src", "dst").collect():
+    for row in edges:
         ra, rb = find(row["src"]), find(row["dst"])
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
     rows = [(x, find(x)) for x in parent]
-    return edges.sparkSession.createDataFrame(
-        rows, "conv_id string, component_id string"
-    )
+    return spark.createDataFrame(rows, "conv_id string, component_id string")
 
 
 def connected_components(
@@ -135,13 +133,13 @@ def connected_components(
     distributed path.
     """
     spark = edges.sparkSession
-    if (
-        small_graph_threshold
-        and not checkpoint_dir
-        and not resume
-        and edges.limit(small_graph_threshold + 1).count() <= small_graph_threshold
-    ):
-        return _driver_union_find(edges)
+    if small_graph_threshold and not checkpoint_dir and not resume:
+        # one action: collect up to threshold+1 rows — decides the path
+        # AND supplies the fast path's input (a separate count would be
+        # a second full pass over the match edges)
+        sample = edges.select("src", "dst").limit(small_graph_threshold + 1).collect()
+        if len(sample) <= small_graph_threshold:
+            return _driver_union_find(spark, sample)
     start = 0
     cur = _sym(edges).select(F.col("u").alias("src"), F.col("v").alias("dst"))
     if checkpoint_dir and resume:

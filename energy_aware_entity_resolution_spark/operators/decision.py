@@ -87,8 +87,21 @@ def decide_matches(scored: DataFrame, cfg: PipelineConfig) -> DataFrame:
     direct = scored.where(F.col("score") >= sc.direct_threshold).select(
         "conv_id_a", "conv_id_b", "score", F.lit("direct").alias("decision")
     )
-    ranked = top_n_neighbors(scored, sc.top_k)
-    best = ratio_test(ranked, sc.ratio_threshold)
+    # rank + runner-up in ONE window pass (row_number and lead share
+    # the window spec, so Catalyst emits a single Window operator —
+    # ranking first and re-windowing the filtered result would shuffle
+    # the directed edges twice)
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    annotated = (
+        _directed(scored)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("s2", F.lead("score").over(w))
+    )
+    passes = F.col("s2").isNull() | (
+        F.col("score") / F.greatest(F.col("s2"), F.lit(1e-9))
+        >= F.lit(sc.ratio_threshold)
+    )
+    best = annotated.where(F.col("rank") == 1).where(passes)
     if sc.mutual_only:
         best = mutual_top1(best.select("src", "dst", "score"))
     tested = (

@@ -85,7 +85,10 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
     t0 = time.monotonic()
     bands = lsh_bands(features, cfg)
     cands = candidate_pairs(features, bands, cfg)
-    cands = _maybe_checkpoint(cands, cfg, "candidate_pairs")
+    # single consumer (scoring) — materializing it would only add a
+    # stage barrier; with a checkpoint_dir it IS persisted (resume)
+    if cfg.checkpoint_dir:
+        cands = _maybe_checkpoint(cands, cfg, "candidate_pairs")
     metrics.record("candidates", t0)
 
     t0 = time.monotonic()
