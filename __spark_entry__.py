@@ -326,6 +326,55 @@ def _q_sn_blocks(spark, sf_dir):
     )
 
 
+def _q_token_bigrams(spark, sf_dir):
+    """P10: sliding token n-grams (n=2) histogram over documents."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    from energy_aware_entity_resolution_spark.functions.keys import token_ngrams_col
+
+    return (
+        docs.select(F.explode(token_ngrams_col(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_multiset_jaccard_pairs(spark, sf_dir):
+    """M4: multiset (Counter) Jaccard pairs within (lang, source)."""
+    from energy_aware_entity_resolution_spark.functions.similarity import (
+        multiset_jaccard_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    sel = docs.select("doc_id", "lang", "source", toks.alias("toks"))
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(
+                multiset_jaccard_col(F.col("a.toks"), F.col("b.toks")), 6
+            ).alias("mjaccard"),
+        )
+        .where(F.col("mjaccard") >= 0.4)
+    )
+
+
+def _q_dedup_keep_list(spark, sf_dir):
+    """J6: dedup-before-index — the surviving representative rows."""
+    from energy_aware_entity_resolution_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
 def _q_hub_cap(spark, sf_dir):
     """D4/J11: degree count + hub filter over the orders graph
     (customers with more than 12 orders are 'hubs')."""
@@ -401,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_hourly": _q_window_hourly,
         "sn_blocks": _q_sn_blocks,
         "hub_cap": _q_hub_cap,
+        "token_bigrams": _q_token_bigrams,
+        "multiset_jaccard_pairs": _q_multiset_jaccard_pairs,
+        "dedup_keep_list": _q_dedup_keep_list,
         "er_clusters": _q_er_clusters,
         "er_matches": _q_er_matches,
         "er_eval_grid": _q_er_eval_grid,
@@ -689,5 +741,42 @@ def oracle_sql() -> dict[str, str]:
         "hub_cap": """
             SELECT o_custkey, count(*) AS degree FROM orders
             GROUP BY o_custkey HAVING count(*) <= 12
+        """,
+        "token_bigrams": f"""
+            WITH t AS (SELECT {_WS_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT unnest(
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END) AS bigram
+              FROM t
+            )
+            SELECT bigram, count(*) AS n FROM g GROUP BY bigram
+        """,
+        "multiset_jaccard_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, lang, source, {_WS_TOKENS} AS toks FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                round(
+                  list_sum(list_transform(list_distinct(a.toks || b.toks),
+                    tok -> least(len(list_filter(a.toks, x -> x = tok)),
+                                 len(list_filter(b.toks, x -> x = tok)))))::DOUBLE
+                  / greatest(len(a.toks) + len(b.toks)
+                    - list_sum(list_transform(list_distinct(a.toks || b.toks),
+                        tok -> least(len(list_filter(a.toks, x -> x = tok)),
+                                     len(list_filter(b.toks, x -> x = tok))))), 1),
+                6) AS mjaccard
+              FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT * FROM pairs WHERE mjaccard >= 0.4
+        """,
+        "dedup_keep_list": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id IN (
+              SELECT min(doc_id) FROM documents GROUP BY {_H('text')}
+            )
         """,
     }
