@@ -283,9 +283,15 @@ def _q_sessionize_events(spark, sf_dir):
     """W2 analog: sessionization by 30-min gaps (lag + cumsum)."""
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
-    # epoch conversion matches DuckDB's epoch()
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # events.ts is TIMESTAMP_NTZ; compute epoch arithmetically from its
+    # components so the result is identical under ANY driver session
+    # timezone (a cast to TIMESTAMP would shift across DST boundaries)
+    epoch = (
+        F.unix_date(F.to_date("ts")) * F.lit(86400).cast("long")
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
     gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
     sess = (
         ev.withColumn("new_sess", F.coalesce(gap, F.lit(0)))
