@@ -28,6 +28,13 @@ class BlockingConfig:
     minhash_bands: int = 32
     minhash_rows: int = 4
     max_block_size: int = 50
+    # what to do with LSH blocks larger than max_block_size:
+    # 'drop' — reference hub-cap semantics (boilerplate blocks are
+    #          noise; pairs inside them are lost) — the default;
+    # 'salt' — keep them, generating their pairs via a deterministic
+    #          salted self-join so one hot block becomes ~s²/2 balanced
+    #          tasks instead of a straggler (recall-preserving).
+    oversize_policy: str = "drop"
     salt_buckets: int = 8
     qgram_n: int = 3
     sorted_neighborhood_window: int = 4

@@ -61,8 +61,12 @@ def exact_pairs(features: DataFrame) -> DataFrame:
 def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """J8: self-join the capped band table on the band key.
 
-    Hot bands (boilerplate) are removed by cap_blocks; residual skew is
-    left to AQE skew-join splitting. Output deduped across bands.
+    Blocks over max_block_size are either dropped (reference hub-cap
+    semantics — boilerplate bands are noise) or, with
+    oversize_policy='salt', kept and exploded via the deterministic
+    salted self-join so a hot band becomes ~s²/2 balanced tasks
+    (recall-preserving). Residual in-cap skew is left to AQE skew-join
+    splitting. Output deduped by candidate_pairs' terminal groupBy.
     """
     capped = cap_blocks(bands, ["band_id", "band_hash"], cfg.blocking.max_block_size)
     a = capped.alias("a")
@@ -70,7 +74,7 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # NOTE: not deduped here — candidate_pairs' terminal groupBy does
     # the cross-band dedup; an extra dropDuplicates would be one more
     # full shuffle of the largest intermediate in the pipeline
-    return (
+    out = (
         a.join(b, on=["band_id", "band_hash"])
         .where(F.col("a.conv_id") < F.col("b.conv_id"))
         .select(
@@ -79,6 +83,17 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
         )
         .withColumn("source", F.lit("lsh"))
     )
+    if cfg.blocking.oversize_policy == "salt":
+        sizes = bands.groupBy("band_id", "band_hash").count()
+        big_keys = sizes.where(F.col("count") > cfg.blocking.max_block_size).drop(
+            "count"
+        )
+        big = bands.join(big_keys, ["band_id", "band_hash"], "left_semi")
+        salted = salted_self_join_pairs(
+            big, ["band_id", "band_hash"], "conv_id", cfg.blocking.salt_buckets
+        ).withColumn("source", F.lit("lsh_salted"))
+        out = out.unionByName(salted)
+    return out
 
 
 def salted_self_join_pairs(

@@ -87,6 +87,41 @@ def test_salted_self_join_equals_plain_join(spark):
     assert salted.count() == plain.count()
 
 
+def test_oversize_policy_salt_recovers_big_block_pairs(spark, transcripts):
+    """With oversize_policy='salt', pairs inside over-cap blocks are
+    generated via the salted join instead of lost; with 'drop' they are
+    absent. Union of drop-pairs and salted-big-block pairs must equal
+    the uncapped join."""
+    import dataclasses
+
+    from energy_aware_entity_resolution_spark.config import BlockingConfig
+
+    feats = _features(spark, transcripts)
+    tiny_cap = dataclasses.replace(
+        CFG.blocking, max_block_size=1, oversize_policy="salt"
+    )
+    cfg_salt = dataclasses.replace(CFG, blocking=tiny_cap)
+    cfg_drop = dataclasses.replace(
+        CFG, blocking=dataclasses.replace(tiny_cap, oversize_policy="drop")
+    )
+    bands = lsh_bands(feats, CFG)
+    uncapped_cfg = dataclasses.replace(
+        CFG, blocking=dataclasses.replace(CFG.blocking, max_block_size=10**9)
+    )
+    all_pairs = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in lsh_pairs(bands, uncapped_cfg).collect()
+    }
+    salted = {
+        (r["conv_id_a"], r["conv_id_b"]) for r in lsh_pairs(bands, cfg_salt).collect()
+    }
+    dropped = {
+        (r["conv_id_a"], r["conv_id_b"]) for r in lsh_pairs(bands, cfg_drop).collect()
+    }
+    assert salted == all_pairs  # recall-preserving
+    assert dropped <= all_pairs and len(dropped) < len(all_pairs)
+
+
 def test_canonical_pairs_dedupe_and_order(spark):
     df = spark.createDataFrame(
         [("b", "a"), ("a", "b"), ("c", "c"), ("a", "c")],
