@@ -11,6 +11,7 @@ in for the Iceberg audit table; sources/catalog.py abstracts that).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -64,20 +65,52 @@ def partition_lineage(df: DataFrame, stage: str, run_id: str) -> DataFrame:
     )
 
 
+def _jvm_cpu_ns(spark) -> int | None:
+    """Cumulative CPU time of the Spark JVM process (ns). In local mode
+    the JVM *is* every executor, so per-stage deltas are a direct
+    CPU-energy proxy — the engine's analog of the reference's
+    codecarbon/pyJoules metering (reference main.py:8-9,235). On a real
+    cluster, executor CPU comes from Spark's task metrics instead."""
+    try:
+        pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())  # type: ignore[union-attr]
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        # fields after comm: utime is idx 11, stime idx 12 (0-based)
+        ticks = int(parts[11]) + int(parts[12])
+        hz = os.sysconf("SC_CLK_TCK")
+        return int(ticks * (1_000_000_000 // hz))
+    except Exception:
+        return None
+
+
 @dataclass
 class StageMetrics:
-    """Driver-side per-stage wall/row metrics collector (the engine's
-    stand-in for the reference's Prometheus counters)."""
+    """Driver-side per-stage wall/CPU metrics collector (the engine's
+    stand-in for the reference's Prometheus counters + energy meter)."""
 
     run_id: str
     rows: list[dict] = field(default_factory=list)
+    spark: object | None = None
+    _last_cpu_ns: int | None = None
+
+    def start(self) -> float:
+        if self.spark is not None:
+            self._last_cpu_ns = _jvm_cpu_ns(self.spark)
+        return time.monotonic()
 
     def record(self, stage: str, t0: float, n_rows: int | None = None) -> None:
+        cpu_s = None
+        if self.spark is not None:
+            now = _jvm_cpu_ns(self.spark)
+            if now is not None and self._last_cpu_ns is not None:
+                cpu_s = (now - self._last_cpu_ns) / 1e9
+            self._last_cpu_ns = now
         self.rows.append(
             {
                 "run_id": self.run_id,
                 "stage": stage,
                 "wall_ms": (time.monotonic() - t0) * 1000.0,
+                "cpu_s": cpu_s,
                 "rows": n_rows,
             }
         )
@@ -85,8 +118,14 @@ class StageMetrics:
     def to_df(self, spark) -> DataFrame:
         return spark.createDataFrame(
             [
-                (r["run_id"], r["stage"], float(r["wall_ms"]), r["rows"])
+                (
+                    r["run_id"],
+                    r["stage"],
+                    float(r["wall_ms"]),
+                    r.get("cpu_s"),
+                    r["rows"],
+                )
                 for r in self.rows
             ],
-            schema="run_id string, stage string, wall_ms double, rows long",
+            schema="run_id string, stage string, wall_ms double, cpu_s double, rows long",
         )

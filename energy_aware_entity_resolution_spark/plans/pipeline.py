@@ -74,15 +74,15 @@ def _maybe_checkpoint(df: DataFrame, cfg: PipelineConfig, name: str) -> DataFram
 def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     spark = transcripts.sparkSession
-    metrics = StageMetrics(cfg.run_id)
+    metrics = StageMetrics(cfg.run_id, spark=spark)
 
-    t0 = time.monotonic()
+    t0 = metrics.start()
     assembled = assemble_conversations(transcripts)
     features = featurize(assembled, cfg)
     features = _maybe_checkpoint(features, cfg, "features")
     metrics.record("featurize", t0)
 
-    t0 = time.monotonic()
+    t0 = metrics.start()
     bands = lsh_bands(features, cfg)
     cands = candidate_pairs(features, bands, cfg)
     # single consumer (scoring) — materializing it would only add a
@@ -91,17 +91,17 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
         cands = _maybe_checkpoint(cands, cfg, "candidate_pairs")
     metrics.record("candidates", t0)
 
-    t0 = time.monotonic()
+    t0 = metrics.start()
     scored = score_pairs(cands, features, cfg)
     scored = _maybe_checkpoint(scored, cfg, "scored_pairs")
     metrics.record("scoring", t0)
 
-    t0 = time.monotonic()
+    t0 = metrics.start()
     matches = decide_matches(scored, cfg)
     matches = _maybe_checkpoint(matches, cfg, "matches")
     metrics.record("decision", t0)
 
-    t0 = time.monotonic()
+    t0 = metrics.start()
     edges = matches.select(
         F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
     )
