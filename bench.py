@@ -34,6 +34,7 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(SCALE_LOW * 4)))
 # ER bench scale: ~# conversations (≈7.5 turns each). sf0.1 ≈ 600k
 # lineitem rows -> 60k convs ≈ 450k turns, comparable data volume.
 N_CONVS = int(os.environ.get("SPARK_GRAFT_ER_CONVS", "60000"))
+N_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 BENCH_QUERIES = [
     "assemble_events",
@@ -125,12 +126,12 @@ def main() -> None:
     def measured(n_cores: int) -> tuple:
         s = _new_spark(n_cores)
         ceiling = machine_compute_probe(s, n_cores)
-        run_er_pipeline(s, max(N_CONVS // 5, 1000))  # warmup (JIT)
-        # best-of-3: the sandbox VM's CPU delivery is erratic (the same
+        run_er_pipeline(s, max(N_CONVS // 6, 1000))  # warmup (JIT)
+        # best-of-N: the sandbox VM's CPU delivery is erratic (the same
         # stage was observed at 7s and 52s under identical code); min
         # is the least-noisy estimator of the machine's capability
         best = min(
-            (run_er_pipeline(s, N_CONVS) for _ in range(3)),
+            (run_er_pipeline(s, N_CONVS) for _ in range(N_REPEATS)),
             key=lambda r: r["wall_s"],
         )
         best["machine_hash_per_sec"] = round(ceiling, 1)
