@@ -259,6 +259,29 @@ def _q_embedding_lsh_buckets(spark, sf_dir):
     return sign_lsh_buckets(emb, n_bits=4).select("vec_id", "bucket")
 
 
+def _q_ivf_cells(spark, sf_dir):
+    """IVF coarse quantization: vector -> nearest deterministic
+    centroid (the IVF 'scale path' ANN variant)."""
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        ivf_assign,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, n_cells=8).select("vec_id", "cell_id")
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-3 (nprobe=1)."""
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        ivf_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=3, n_cells=8).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 def _q_lang_quality(spark, sf_dir):
     """Text analysis: language-ID heuristic + quality scoring + token
     counting (training-data pipeline ops)."""
@@ -450,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_buckets": _q_embedding_lsh_buckets,
+        "ivf_cells": _q_ivf_cells,
+        "ivf_topk": _q_ivf_topk,
         "lang_quality": _q_lang_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "sessionize_events": _q_sessionize_events,
@@ -500,6 +525,31 @@ WITH toks AS (
     FROM perms
 )
 SELECT doc_id, i, min(hv) AS minhash FROM vals GROUP BY doc_id, i
+"""
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine of two FLOAT[] lists, double-accumulated, 6 dp."""
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" j -> {a}[j]::DOUBLE * {b}[j]::DOUBLE))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x)))"
+    return f"round({dot} / greatest({na} * {nb}, 1e-12), 6)"
+
+
+_IVF_ASSIGN_CTE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY csim DESC, cell_id ASC) AS rn FROM scored) WHERE rn = 1
+)
 """
 
 _LANG_MARKERS_SQL = {
@@ -701,6 +751,19 @@ def oracle_sql() -> dict[str, str]:
              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)) AS bucket
             FROM embeddings
+        """,
+        "ivf_cells": _IVF_ASSIGN_CTE + "SELECT vec_id, cell_id FROM assigned",
+        "ivf_topk": _IVF_ASSIGN_CTE + f"""
+            , pairs AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+              FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id
+              WHERE a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM pairs) WHERE rank <= 3
         """,
         "lang_quality": _lang_quality_sql(),
         "doc_fingerprint": f"""

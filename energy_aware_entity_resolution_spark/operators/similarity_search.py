@@ -33,9 +33,14 @@ from energy_aware_entity_resolution_spark.functions.embeddings import (
 
 
 def _cosine(a, b):
+    # widen to double BEFORE multiplying: float*float products lose
+    # bits that can flip the 6th rounded decimal vs engines that
+    # accumulate in double (the DuckDB oracle does)
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
     return F.round(
-        dot_col(a, b)
-        / F.greatest(norm_col(a) * norm_col(b), F.lit(1e-12)),
+        dot_col(ad, bd)
+        / F.greatest(norm_col(ad) * norm_col(bd), F.lit(1e-12)),
         6,
     )
 
@@ -110,6 +115,66 @@ def bucketed_topk(
     )
     scored = (
         a_side.join(b_side, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("vv")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest of
+    n_cells centroid vectors.
+
+    Centroids are the vectors with the n_cells smallest ids —
+    deterministic, derivable by any engine (a k-means fit would be the
+    production upgrade; the cell-probe structure is identical). The
+    centroid set is tiny and broadcast; assignment is one
+    broadcast-join + argmax, no shuffle of the big side.
+    """
+    cents = vectors.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+    )
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        _cosine(F.col(vec_col), F.col("cv")).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: search only within the query's
+    cell (nprobe=1). The reference's FAISS flat index re-expressed as
+    partitioned search; recall rises with n_probe / falls with n_cells."""
+    assigned = ivf_assign(vectors, n_cells, id_col, vec_col)
+    a = assigned.select(
+        "cell_id", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    b = assigned.select(
+        "cell_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vv")
+    )
+    scored = (
+        a.join(b, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("vv")).alias("cosine")

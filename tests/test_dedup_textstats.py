@@ -144,6 +144,28 @@ def test_bucketed_topk_approximates_brute_force(spark, vectors):
     assert len(a & b) / len(b) >= 0.6
 
 
+def test_ivf_assignment_and_topk(spark, vectors):
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        ivf_assign,
+        ivf_topk,
+    )
+
+    assigned = ivf_assign(vectors, n_cells=4)
+    rows = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    assert len(rows) == 40 and set(rows.values()) <= {0, 1, 2, 3}
+    # the 4 seed vectors are their own nearest centroid
+    for i in range(4):
+        assert rows[i] == i
+    # vectors are clustered around 4 bases aligned with seeds 0..3
+    # (vec i ~ base[i % 4]); the quantizer should recover that grouping
+    agree = sum(1 for v, c in rows.items() if c == rows[v % 4])
+    assert agree >= 35
+    out = ivf_topk(vectors, k=2, n_cells=4)
+    for r in out.collect():
+        assert r["rank"] in (1, 2)
+        assert rows[r["query_id"]] == rows[r["neighbor_id"]]  # same cell only
+
+
 def test_block_topk_matches_brute_force_within_block(spark, vectors):
     blocked = vectors.withColumn("blk", F.col("vec_id") % 4)
     out = block_topk_applyinpandas(blocked, "blk", k=2)
