@@ -412,25 +412,34 @@ def _q_hub_cap(spark, sf_dir):
     return deg.where(F.col("degree") <= 12)
 
 
-# ---- transcript ER pipeline (not SQL-expressible → rows-only checks)
+# ---- transcript ER pipeline gate queries. All three share ONE
+# pipeline run (memoized per SparkSession+params — the gate previously
+# ran the most expensive computation three times over identical input).
+_PIPELINE_CACHE: dict[tuple, object] = {}
+
+
 def _transcripts(spark, n=400):
     from energy_aware_entity_resolution_spark.sources import generate_transcripts
 
     return generate_transcripts(spark, n, seed=42)
 
 
-def _q_er_clusters(spark, sf_dir):
-    """Flagship transcript ER: full blocking→scoring→decision→CC."""
+def _shared_pipeline_result(spark, n=400, seed=42):
     from energy_aware_entity_resolution_spark.plans import run_pipeline
 
-    res = run_pipeline(_transcripts(spark), PipelineConfig())
-    return res.clusters
+    key = (spark.sparkContext.applicationId, n, seed)
+    if key not in _PIPELINE_CACHE:
+        _PIPELINE_CACHE[key] = run_pipeline(_transcripts(spark, n), PipelineConfig())
+    return _PIPELINE_CACHE[key]
+
+
+def _q_er_clusters(spark, sf_dir):
+    """Flagship transcript ER: full blocking→scoring→decision→CC."""
+    return _shared_pipeline_result(spark).clusters
 
 
 def _q_er_matches(spark, sf_dir):
-    from energy_aware_entity_resolution_spark.plans import run_pipeline
-
-    res = run_pipeline(_transcripts(spark), PipelineConfig())
+    res = _shared_pipeline_result(spark)
     return res.matches.select(
         "conv_id_a", "conv_id_b", F.round("score", 6).alias("score"), "decision"
     )
@@ -440,10 +449,9 @@ def _q_er_eval_grid(spark, sf_dir):
     from energy_aware_entity_resolution_spark.operators.evaluation import (
         evaluation_grid,
     )
-    from energy_aware_entity_resolution_spark.plans import run_pipeline
     from energy_aware_entity_resolution_spark.sources import generate_labeled_pairs
 
-    res = run_pipeline(_transcripts(spark), PipelineConfig())
+    res = _shared_pipeline_result(spark)
     truth = generate_labeled_pairs(spark, 400, seed=42).where(F.col("label") == 1)
     grid = evaluation_grid(
         res.scored.select("conv_id_a", "conv_id_b", "score"),
@@ -493,12 +501,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------- oracles
 _H = md5_hash60_sql  # portable md5-60bit hash fragment builder
 
+# mirrors clean_text_col exactly: date canonicalization (ISO yyyy-mm-dd
+# and US mm/dd/yyyy -> yyyymmdd, cleaning.py:31-33) BEFORE lowercasing +
+# non-alnum squashing — without it any date-bearing document would
+# clean differently in the two engines
+_CANON_DATES = (
+    "regexp_replace(regexp_replace(text,"
+    " '(\\d{4})-(\\d{2})-(\\d{2})', '\\1\\2\\3', 'g'),"
+    " '(\\d{2})/(\\d{2})/(\\d{4})', '\\3\\1\\2', 'g')"
+)
 _CLEAN = (
-    "regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', '_', 'g'),"
+    f"regexp_replace(regexp_replace(lower({_CANON_DATES}), '[^a-z0-9]+', '_', 'g'),"
     " '^_+|_+$', '', 'g')"
 )
 _WS_TOKENS = (
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+# raw-case twin: Spark's ws_tokens_col does NOT lowercase, so quality /
+# diversity stats must be computed case-sensitively ('The' vs 'the' are
+# distinct tokens); only language-marker matching lowercases
+_WS_TOKENS_RAW = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 )
 _WS_DISTINCT = f"list_distinct({_WS_TOKENS})"
 
@@ -562,7 +585,7 @@ _LANG_MARKERS_SQL = {
 
 def _lang_quality_sql() -> str:
     hits = {
-        c: f"len(list_filter(toks, t -> list_contains({m}, t)))"
+        c: f"len(list_filter(toks_low, t -> list_contains({m}, t)))"
         for c, m in _LANG_MARKERS_SQL.items()
     }
     # mirror lang_guess_col's fold: iterate langs in sorted order,
@@ -575,9 +598,11 @@ def _lang_quality_sql() -> str:
         best = f"greatest({h}, {best})"
     return f"""
 WITH base AS (
-  SELECT doc_id, text, {_WS_TOKENS} AS toks FROM documents
+  SELECT doc_id, text, {_WS_TOKENS_RAW} AS toks,
+         {_WS_TOKENS} AS toks_low
+  FROM documents
 ), stats AS (
-  SELECT doc_id, text, toks,
+  SELECT doc_id, text, toks, toks_low,
     len(toks) AS n_ws,
     CASE WHEN len(toks) > 0
          THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS div,

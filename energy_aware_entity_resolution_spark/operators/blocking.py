@@ -87,7 +87,7 @@ def featurize(assembled: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.when(F.size(rare) > 0, rare).otherwise(F.col("tokens")),
         )
     )
-    return (
+    result = (
         out.withColumn("sig_hash", sig_hash_col(F.col("sig")))
         .withColumn("bitmask", bitmask_col(F.col("sig")))
         .withColumn("rare_sig", signature_col(F.col("rare_tokens")))
@@ -97,6 +97,12 @@ def featurize(assembled: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .withColumn("vec", F.col("_mv.vec"))
         .drop("_mv")
     )
+    # the persisted `tokenized` feeds the (lazy) projection above; the
+    # caller must release it once the result is materialized or cached
+    # RDDs accumulate across repeated runs in one session (the pipeline
+    # driver does this in _maybe_checkpoint)
+    result._upstream_caches = [tokenized]  # type: ignore[attr-defined]
+    return result
 
 
 def lsh_bands(features: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -118,7 +118,7 @@ def connected_components(
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
     resume: bool = False,
-    small_graph_threshold: int = 2_000_000,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src,dst) -> clusters(conv_id, component_id).
 
@@ -130,7 +130,10 @@ def connected_components(
     Graphs at or below small_graph_threshold edges run on the driver
     (see _driver_union_find); larger graphs run the distributed
     large-star/small-star loop. Checkpoint/resume always uses the
-    distributed path.
+    distributed path. The threshold is additionally byte-guarded: if
+    the collected sample exceeds ~64 MB of id bytes the distributed
+    path runs even under the row threshold (long string ids would
+    otherwise blow the driver heap before the row cap bites).
     """
     spark = edges.sparkSession
     if small_graph_threshold and not checkpoint_dir and not resume:
@@ -139,7 +142,29 @@ def connected_components(
         # a second full pass over the match edges)
         sample = edges.select("src", "dst").limit(small_graph_threshold + 1).collect()
         if len(sample) <= small_graph_threshold:
+            if sample:
+                probe = sample[: 1000]
+                avg_bytes = sum(
+                    len(r["src"]) + len(r["dst"]) for r in probe
+                ) / len(probe)
+                if avg_bytes * len(sample) > 64 * 1024 * 1024:
+                    del sample
+                    return _distributed_cc(
+                        edges, max_iterations, checkpoint_dir, resume
+                    )
             return _driver_union_find(spark, sample)
+    return _distributed_cc(edges, max_iterations, checkpoint_dir, resume)
+
+
+def _distributed_cc(
+    edges: DataFrame,
+    max_iterations: int,
+    checkpoint_dir: str | None,
+    resume: bool,
+) -> DataFrame:
+    """The large-star/small-star loop (extracted so the fast-path
+    byte-guard can fall through to it)."""
+    spark = edges.sparkSession
     start = 0
     cur = _sym(edges).select(F.col("u").alias("src"), F.col("v").alias("dst"))
     if checkpoint_dir and resume:

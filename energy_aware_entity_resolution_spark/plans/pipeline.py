@@ -51,6 +51,25 @@ class PipelineResult:
     audit: DataFrame | None
     metrics: StageMetrics
 
+    def release(self) -> None:
+        """Unpersist every stage cache this run created. Call when the
+        result DataFrames are no longer needed — repeated run_pipeline
+        calls in one session (tests, benches, the incremental loop)
+        otherwise accumulate cached RDDs for the session lifetime."""
+        for df in (self.features, self.candidates, self.scored,
+                   self.matches, self.clusters):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def _release_upstream(df: DataFrame) -> None:
+    """Unpersist caches featurize (or any stage) tagged onto its output
+    — safe to call once the downstream materialization completed."""
+    for cached in getattr(df, "_upstream_caches", []):
+        cached.unpersist()
+
 
 def _maybe_checkpoint(df: DataFrame, cfg: PipelineConfig, name: str) -> DataFrame:
     """Materialize a stage boundary.
@@ -63,11 +82,13 @@ def _maybe_checkpoint(df: DataFrame, cfg: PipelineConfig, name: str) -> DataFram
     (observed: five overlapping 12s jobs all running featurize).
     """
     if not cfg.checkpoint_dir:
-        df = df.persist()
-        df.count()
-        return df
+        out = df.persist()
+        out.count()
+        _release_upstream(df)
+        return out
     path = os.path.join(cfg.checkpoint_dir, name)
     df.write.mode("overwrite").parquet(path)
+    _release_upstream(df)
     return df.sparkSession.read.parquet(path)
 
 

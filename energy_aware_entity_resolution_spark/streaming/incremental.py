@@ -165,8 +165,11 @@ def run_incremental(
 
         cands = _incremental_candidates(feats_new, all_feats, cfg)
         scored = score_pairs(cands, all_feats, cfg)
-        scored.withColumn("round", F.lit(b)).write.mode("append").parquet(
-            os.path.join(state_dir, "scored_rounds")
+        # deterministic per-round partition path + overwrite: a batch
+        # replayed after a crash between this write and _DONE
+        # overwrites its own snapshot instead of duplicating rows
+        scored.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "scored_rounds", f"round={b}")
         )
         new_matches = decide_matches(scored, cfg)
 
