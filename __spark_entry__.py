@@ -412,9 +412,22 @@ def _q_hub_cap(spark, sf_dir):
     return deg.where(F.col("degree") <= 12)
 
 
-# ---- transcript ER pipeline gate queries. All three share ONE
-# pipeline run (memoized per SparkSession+params — the gate previously
-# ran the most expensive computation three times over identical input).
+# ---- flagship transcript ER pipeline gate queries.
+#
+# The gate runs the REAL run_pipeline code path (assemble -> featurize
+# -> exact/LSH/SN candidates -> blended scoring -> ratio/threshold
+# decision -> connected components) over a transcripts table derived
+# deterministically from the shared documents parquet
+# (sources.transcripts_from_documents), under the portable hash family
+# (PipelineConfig(blocking.portable=True)). That makes every stage —
+# decisions and transitive clusters included — recomputable by the
+# DuckDB oracle (er_matches / er_clusters / er_eval_grid all have full
+# SQL twins; CC is a recursive CTE). The numpy-generated synthetic
+# transcripts remain the F1/scale fixture for pytest, entry() and
+# bench.py; they are not oracle-expressible (the oracle cannot run the
+# generator), which is why the gate input is the documents bridge.
+#
+# All three gate queries share ONE memoized pipeline run.
 _PIPELINE_CACHE: dict[tuple, object] = {}
 
 
@@ -424,38 +437,66 @@ def _transcripts(spark, n=400):
     return generate_transcripts(spark, n, seed=42)
 
 
-def _shared_pipeline_result(spark, n=400, seed=42):
+def _shared_docs_pipeline(spark, sf_dir):
+    from energy_aware_entity_resolution_spark.config import BlockingConfig
     from energy_aware_entity_resolution_spark.plans import run_pipeline
+    from energy_aware_entity_resolution_spark.sources import (
+        transcripts_from_documents,
+    )
 
-    key = (spark.sparkContext.applicationId, n, seed)
+    key = (spark.sparkContext.applicationId, "docs", sf_dir)
     if key not in _PIPELINE_CACHE:
-        _PIPELINE_CACHE[key] = run_pipeline(_transcripts(spark, n), PipelineConfig())
+        cfg = PipelineConfig(
+            blocking=BlockingConfig(portable=True), audit_enabled=False
+        )
+        transcripts = transcripts_from_documents(_read(spark, sf_dir, "documents"))
+        _PIPELINE_CACHE[key] = run_pipeline(transcripts, cfg)
     return _PIPELINE_CACHE[key]
 
 
 def _q_er_clusters(spark, sf_dir):
-    """Flagship transcript ER: full blocking→scoring→decision→CC."""
-    return _shared_pipeline_result(spark).clusters
+    """Flagship ER end-to-end: transitive entity clusters (C1/C3)."""
+    return _shared_docs_pipeline(spark, sf_dir).clusters
 
 
 def _q_er_matches(spark, sf_dir):
-    res = _shared_pipeline_result(spark)
+    """Flagship ER decisions (D1-D5): accepted match pairs + provenance."""
+    res = _shared_docs_pipeline(spark, sf_dir)
     return res.matches.select(
         "conv_id_a", "conv_id_b", F.round("score", 6).alias("score"), "decision"
     )
 
 
+def _er_truth_pairs(spark, sf_dir):
+    """Ground truth for the gate grid: exact-text duplicate pairs of
+    the documents table (same md5-60bit text hash), canonical order."""
+    docs = _read(spark, sf_dir, "documents")
+    sel = docs.select(
+        F.format_string("d%08d", F.col("doc_id")).alias("cid"),
+        md5_hash60_col(F.col("text")).alias("th"),
+    )
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return (
+        a.join(b, "th")
+        .where(F.col("a.cid") < F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("conv_id_a"), F.col("b.cid").alias("conv_id_b")
+        )
+    )
+
+
 def _q_er_eval_grid(spark, sf_dir):
+    """Reference grid search (seuil × k) over the gate pipeline's
+    scored pairs vs exact-duplicate ground truth."""
     from energy_aware_entity_resolution_spark.operators.evaluation import (
         evaluation_grid,
     )
-    from energy_aware_entity_resolution_spark.sources import generate_labeled_pairs
 
-    res = _shared_pipeline_result(spark)
-    truth = generate_labeled_pairs(spark, 400, seed=42).where(F.col("label") == 1)
+    res = _shared_docs_pipeline(spark, sf_dir)
     grid = evaluation_grid(
         res.scored.select("conv_id_a", "conv_id_b", "score"),
-        truth.select("conv_id_a", "conv_id_b"),
+        _er_truth_pairs(spark, sf_dir),
         thresholds=[0.9, 0.7, 0.5],
         ks=[1, 5, 10],
     )
@@ -505,15 +546,19 @@ _H = md5_hash60_sql  # portable md5-60bit hash fragment builder
 # and US mm/dd/yyyy -> yyyymmdd, cleaning.py:31-33) BEFORE lowercasing +
 # non-alnum squashing — without it any date-bearing document would
 # clean differently in the two engines
-_CANON_DATES = (
-    "regexp_replace(regexp_replace(text,"
-    " '(\\d{4})-(\\d{2})-(\\d{2})', '\\1\\2\\3', 'g'),"
-    " '(\\d{2})/(\\d{2})/(\\d{4})', '\\3\\1\\2', 'g')"
-)
-_CLEAN = (
-    f"regexp_replace(regexp_replace(lower({_CANON_DATES}), '[^a-z0-9]+', '_', 'g'),"
-    " '^_+|_+$', '', 'g')"
-)
+def _clean_sql(expr: str) -> str:
+    canon = (
+        f"regexp_replace(regexp_replace({expr},"
+        " '(\\d{4})-(\\d{2})-(\\d{2})', '\\1\\2\\3', 'g'),"
+        " '(\\d{2})/(\\d{2})/(\\d{4})', '\\3\\1\\2', 'g')"
+    )
+    return (
+        f"regexp_replace(regexp_replace(lower({canon}), '[^a-z0-9]+', '_', 'g'),"
+        " '^_+|_+$', '', 'g')"
+    )
+
+
+_CLEAN = _clean_sql("text")
 _WS_TOKENS = (
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 )
@@ -624,6 +669,254 @@ SELECT doc_id,
   round(div, 6) AS distinct_ratio
 FROM stats
 """
+
+
+# ---- flagship-pipeline oracle: DuckDB recomputes run_pipeline
+# (portable hash family) end-to-end over the documents-derived
+# transcripts. Constants are read from the live PipelineConfig defaults
+# so the SQL cannot drift from the engine's config.
+def _er_pipeline_sql() -> str:
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+
+    bk = BlockingConfig()
+    sc = ScoringConfig()
+    k, rows, bands = bk.minhash_k, bk.minhash_rows, bk.minhash_bands
+    dim, cap, snw = sc.embedding_dim, bk.max_block_size, bk.sorted_neighborhood_window
+    perm = (
+        "((((1103515245 * (i + 1) + 12345) % 2147483648) | 1) * x"
+        " + ((69069 * (i + 1) + 1) % 2147483648)) % 2147483647"
+    )
+    perm_empty = "((69069 * (i + 1) + 1) % 2147483648) % 2147483647"
+    # blend weights: same literals the Spark plan uses
+    wj, wl, wc = sc.w_jaccard, sc.w_levenshtein, sc.w_cosine
+    return f"""
+docsrc AS (
+  SELECT printf('d%08d', doc_id) AS conv_id,
+         array_to_string({_WS_TOKENS_RAW}, ' ') AS doc
+  FROM documents
+),
+cleanedT AS (
+  SELECT conv_id, {_clean_sql('doc')} AS cleaned FROM docsrc
+),
+tokT AS (
+  SELECT conv_id,
+         list_distinct(list_filter(string_split(cleaned, '_'),
+                       x -> x <> '' AND x <> 'nan')) AS toks
+  FROM cleanedT
+),
+nT AS (SELECT count(*) AS n FROM tokT),
+dfT AS (
+  SELECT token, count(*) AS df
+  FROM (SELECT unnest(toks) AS token FROM tokT) GROUP BY token
+),
+stopT AS (
+  SELECT coalesce(list(token), []::VARCHAR[]) AS sw
+  FROM dfT, nT WHERE df > {bk.df_stopword_ratio}::DOUBLE * n
+),
+featT AS (
+  SELECT conv_id, toks,
+         array_to_string(list_sort(toks), ' ') AS sig,
+         CASE WHEN len(rare0) > 0 THEN rare0 ELSE toks END AS rare
+  FROM (SELECT t.conv_id, t.toks,
+          list_filter(t.toks, x -> NOT list_contains(s.sw, x)) AS rare0
+        FROM tokT t, stopT s)
+),
+feat2T AS (
+  SELECT conv_id, toks, sig, rare,
+    array_to_string(list_sort(rare), ' ') AS rare_sig,
+    substr(array_to_string(list_sort(
+      list_filter(rare, t -> regexp_matches(t, '^[a-z]'))), ' '), 1, 12) AS sn_key,
+    list_transform(rare, t -> {_H('t')}) AS rh,
+    list_transform(rare, t -> ({_H('t')} % 2147483648)) AS x31s
+  FROM featT
+),
+mhT AS (
+  SELECT conv_id,
+    list_transform(range(0, {k}), i ->
+      coalesce(list_min(list_transform(x31s, x -> {perm})), {perm_empty})) AS mh
+  FROM feat2T
+),
+vecT AS (
+  SELECT conv_id,
+    list_transform(range(0, {dim}), i ->
+      coalesce(list_sum(list_transform(rh, h ->
+        CASE WHEN h % {dim} = i
+             THEN (CASE WHEN (h >> 59) & 1 = 1
+                        THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+             ELSE 0.0::DOUBLE END)), 0.0::DOUBLE)) AS vec
+  FROM feat2T
+),
+bandT AS (
+  SELECT f.conv_id, b.band_id,
+    array_to_string(list_transform(range(0, {rows}),
+      r -> mh[b.band_id * {rows} + r + 1]::VARCHAR), '-') AS band_key
+  FROM mhT f, (SELECT unnest(range(0, {bands})) AS band_id) b
+),
+cappedT AS (
+  SELECT * FROM bandT
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {cap}
+),
+exactP AS (
+  SELECT a.conv_id AS ca, b.conv_id AS cb
+  FROM feat2T a JOIN feat2T b ON a.sig = b.sig AND a.conv_id < b.conv_id
+),
+lshP AS (
+  SELECT DISTINCT a.conv_id AS ca, b.conv_id AS cb
+  FROM cappedT a JOIN cappedT b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.conv_id < b.conv_id
+),
+snrT AS (
+  SELECT conv_id, sn_key, substr(sn_key, 1, 2) AS bucket,
+         row_number() OVER (PARTITION BY substr(sn_key, 1, 2)
+                            ORDER BY sn_key, conv_id) AS rnk
+  FROM feat2T
+),
+snP AS (
+  SELECT least(a.conv_id, b.conv_id) AS ca, greatest(a.conv_id, b.conv_id) AS cb
+  FROM snrT a JOIN snrT b
+    ON a.bucket = b.bucket AND b.rnk > a.rnk AND b.rnk <= a.rnk + {snw}
+),
+candT AS (
+  SELECT DISTINCT ca, cb FROM (
+    SELECT * FROM exactP UNION ALL SELECT * FROM lshP UNION ALL SELECT * FROM snP)
+),
+scoredT AS (
+  SELECT c.ca AS conv_id_a, c.cb AS conv_id_b,
+    CASE WHEN fa.sig = fb.sig THEN 1.0::DOUBLE ELSE
+      {wj}::DOUBLE * (CASE WHEN len(list_distinct(fa.rare || fb.rare)) > 0
+        THEN len(list_intersect(fa.rare, fb.rare))::DOUBLE
+             / len(list_distinct(fa.rare || fb.rare))
+        ELSE 1.0::DOUBLE END)
+      + {wl}::DOUBLE * (1.0::DOUBLE
+          - levenshtein(substr(fa.rare_sig, 1, 512), substr(fb.rare_sig, 1, 512))
+            / greatest(length(substr(fa.rare_sig, 1, 512)),
+                       length(substr(fb.rare_sig, 1, 512)), 1))
+      + {wc}::DOUBLE * greatest(
+          list_sum(list_transform(range(1, {dim} + 1), j -> va.vec[j] * vb.vec[j]))
+          / greatest(sqrt(list_sum(list_transform(va.vec, x -> x * x)))
+                   * sqrt(list_sum(list_transform(vb.vec, x -> x * x))), 1e-12),
+          0.0::DOUBLE)
+    END AS score
+  FROM candT c
+  JOIN feat2T fa ON fa.conv_id = c.ca
+  JOIN feat2T fb ON fb.conv_id = c.cb
+  JOIN vecT va ON va.conv_id = c.ca
+  JOIN vecT vb ON vb.conv_id = c.cb
+),
+directedT AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst, score FROM scoredT
+  UNION ALL SELECT conv_id_b, conv_id_a, score FROM scoredT
+),
+rankedT AS (
+  SELECT src, dst, score, row_number() OVER w AS rnk, lead(score) OVER w AS s2
+  FROM directedT WINDOW w AS (PARTITION BY src ORDER BY score DESC, dst ASC)
+),
+bestT AS (
+  SELECT * FROM rankedT
+  WHERE rnk = 1 AND (s2 IS NULL
+    OR score / greatest(s2, 1e-9) >= {sc.ratio_threshold}::DOUBLE)
+),
+testedT AS (
+  SELECT DISTINCT least(src, dst) AS conv_id_a, greatest(src, dst) AS conv_id_b,
+         score, 'ratio' AS decision
+  FROM bestT WHERE score >= {sc.match_threshold}::DOUBLE
+),
+directT AS (
+  SELECT conv_id_a, conv_id_b, score, 'direct' AS decision
+  FROM scoredT WHERE score >= {sc.direct_threshold}::DOUBLE
+),
+matchesT AS (
+  SELECT conv_id_a, conv_id_b, max(score) AS score, min(decision) AS decision
+  FROM (SELECT * FROM directT UNION ALL SELECT * FROM testedT)
+  GROUP BY conv_id_a, conv_id_b
+)"""
+
+
+def _er_matches_sql() -> str:
+    return (
+        "WITH " + _er_pipeline_sql()
+        + """
+SELECT conv_id_a, conv_id_b, round(score, 6) AS score, decision FROM matchesT"""
+    )
+
+
+def _er_clusters_sql() -> str:
+    # transitive closure of the match graph as a recursive CTE;
+    # component_id = lexicographic min member (clustering.py semantics)
+    return (
+        "WITH RECURSIVE " + _er_pipeline_sql()
+        + """,
+edgesT AS (
+  SELECT conv_id_a AS u, conv_id_b AS v FROM matchesT
+  UNION SELECT conv_id_b, conv_id_a FROM matchesT
+),
+reachT(u, v) AS (
+  SELECT u, v FROM edgesT
+  UNION
+  SELECT r.u, e.v FROM reachT r JOIN edgesT e ON r.v = e.u WHERE r.u <> e.v
+),
+compT AS (
+  SELECT u AS conv_id, least(u, min(v)) AS component_id FROM reachT GROUP BY u
+)
+SELECT d.conv_id, coalesce(c.component_id, d.conv_id) AS component_id
+FROM docsrc d LEFT JOIN compT c USING (conv_id)"""
+    )
+
+
+def _er_eval_grid_sql() -> str:
+    return (
+        "WITH " + _er_pipeline_sql()
+        + f""",
+truthT AS (
+  SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b
+  FROM (SELECT printf('d%08d', doc_id) AS conv_id, {_H('text')} AS th
+        FROM documents) a
+  JOIN (SELECT printf('d%08d', doc_id) AS conv_id, {_H('text')} AS th
+        FROM documents) b
+    ON a.th = b.th AND a.conv_id < b.conv_id
+),
+rankedG AS (
+  SELECT src, dst, score,
+         dense_rank() OVER (PARTITION BY src ORDER BY round(score, 6) DESC)
+           AS krank
+  FROM directedT
+),
+pairRankG AS (
+  SELECT least(src, dst) AS conv_id_a, greatest(src, dst) AS conv_id_b,
+         max(score) AS score, min(krank) AS krank
+  FROM rankedG GROUP BY 1, 2
+),
+prG AS (
+  SELECT coalesce(p.score, -1.0::DOUBLE) AS score,
+         coalesce(p.krank, 1000000000) AS krank,
+         CASE WHEN t.conv_id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM pairRankG p FULL JOIN truthT t USING (conv_id_a, conv_id_b)
+),
+gridG AS (
+  SELECT seuil, k
+  FROM (SELECT unnest([0.9::DOUBLE, 0.7::DOUBLE, 0.5::DOUBLE]) AS seuil),
+       (SELECT unnest([1, 5, 10]) AS k)
+),
+aggG AS (
+  SELECT seuil, k,
+    sum(predicted * is_true)::BIGINT AS tp,
+    sum(predicted * (1 - is_true))::BIGINT AS fp,
+    sum((1 - predicted) * is_true)::BIGINT AS fn
+  FROM (SELECT seuil, k, is_true,
+          CASE WHEN score >= seuil AND krank <= k THEN 1 ELSE 0 END AS predicted
+        FROM prG, gridG)
+  GROUP BY seuil, k
+)
+SELECT seuil, k, tp, fp, fn,
+  round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0::DOUBLE END, 6)
+    AS f1
+FROM (SELECT *, tp / greatest(tp + fp, 1) AS p, tp / greatest(tp + fn, 1) AS r
+      FROM aggG)"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -873,4 +1166,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT min(doc_id) FROM documents GROUP BY {_H('text')}
             )
         """,
+        "er_matches": _er_matches_sql(),
+        "er_clusters": _er_clusters_sql(),
+        "er_eval_grid": _er_eval_grid_sql(),
     }

@@ -44,6 +44,15 @@ class BlockingConfig:
     # reference's IDF / rare-node bias plays this role,
     # dynamic_graph.py:377-391). Exact-match signatures keep ALL tokens.
     df_stopword_ratio: float = 0.3
+    # portable=True swaps the hash family (blake2b/xxhash64 -> the
+    # md5-60bit portable family) so EVERY stage of the pipeline is
+    # bit-reproducible by an ANSI-SQL oracle (the correctness gate runs
+    # the flagship pipeline under this flag and DuckDB recomputes it
+    # end-to-end, decisions and clusters included). Same operators,
+    # same plan shapes, same config semantics — only the hash family
+    # and the (unnormalized, integer-valued) embedding differ. The
+    # production default keeps the faster JVM/Arrow hashes.
+    portable: bool = False
 
 
 @dataclass(frozen=True)

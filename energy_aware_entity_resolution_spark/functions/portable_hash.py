@@ -59,3 +59,54 @@ def perm_hash_sql(x31_expr: str, i_expr: str) -> str:
     a = f"((((1103515245::BIGINT * {i64} + 12345) % 2147483648) | 1))"
     b = f"((69069::BIGINT * {i64} + 1) % 2147483648)"
     return f"(({a} * ({x31_expr})::BIGINT + {b}) % 2147483647)"
+
+
+def portable_minhash_col(tokens: Column, k: int) -> Column:
+    """array<string> tokens -> array<long> portable k-MinHash, pure
+    column expression (no UDF): token hash = md5-60bit mod 2^31,
+    permutation i = the universal-hash family above, min per position.
+    Empty token sets get the deterministic filler h_i(0) = b_i mod p.
+
+    Used by featurize(portable=True) — the correctness-gate hash family
+    that the DuckDB oracle recomputes verbatim. O(k·|tokens|) per row;
+    the production path keeps the fused Arrow UDF (minhash.py).
+    """
+    xs = F.transform(tokens, lambda t: md5_hash60_col(t) % F.lit(1 << 31))
+
+    # single-arg closure per i: a two-parameter lambda would make
+    # F.transform pass the ARRAY INDEX as the second argument
+    def _perm(i: int):
+        return lambda x: perm_hash_col(x, i)
+
+    sigs = []
+    for i in range(k):
+        hv = F.array_min(F.transform(xs, _perm(i)))
+        sigs.append(F.coalesce(hv, F.lit(perm_coeff_b(i) % MERSENNE31)))
+    return F.array(*sigs)
+
+
+def portable_embed_col(tokens: Column, dim: int) -> Column:
+    """array<string> tokens -> UNNORMALIZED array<double> signed-count
+    feature-hash embedding: token t adds ±1 (sign = top bit of its
+    md5-60bit hash) at index hash mod dim.
+
+    Deliberately integer-valued so every downstream float op (dot,
+    norms, one divide) is a single IEEE operation on exact inputs —
+    bit-identical across Spark and the DuckDB oracle. Consumers must
+    use the full cosine (dot / (|a|·|b|)), not the unit-vector dot.
+    """
+    hs = F.transform(tokens, md5_hash60_col)
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    idxs = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def _add(acc: Column, h: Column) -> Column:
+        sign = F.when(
+            F.shiftright(h, 59).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        return F.zip_with(
+            acc,
+            idxs,
+            lambda a, i: a + F.when((h % dim) == i, sign).otherwise(F.lit(0.0)),
+        )
+
+    return F.aggregate(hs, zero, _add)

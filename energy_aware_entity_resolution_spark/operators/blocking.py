@@ -87,16 +87,62 @@ def featurize(assembled: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.when(F.size(rare) > 0, rare).otherwise(F.col("tokens")),
         )
     )
-    result = (
+    keyed = (
         out.withColumn("sig_hash", sig_hash_col(F.col("sig")))
         .withColumn("bitmask", bitmask_col(F.col("sig")))
         .withColumn("rare_sig", signature_col(F.col("rare_tokens")))
         .withColumn("sn_key", sorted_neighborhood_key_col(F.col("rare_tokens")))
-        .withColumn("_mv", minhash_embed(F.col("rare_tokens")))
-        .withColumn("minhash", F.col("_mv.minhash"))
-        .withColumn("vec", F.col("_mv.vec"))
-        .drop("_mv")
     )
+    if cfg.blocking.portable:
+        # correctness-gate hash family: JVM expressions the DuckDB
+        # oracle recomputes verbatim. Shape: explode rare tokens, hash
+        # each token ONCE, one groupBy computing all k mins + dim sums
+        # in a single hash aggregate, join back — one pass over the
+        # token incidence instead of k inlined rescans.
+        from energy_aware_entity_resolution_spark.functions.portable_hash import (
+            MERSENNE31,
+            md5_hash60_col,
+            perm_coeff_b,
+            perm_hash_col,
+        )
+
+        k = cfg.blocking.minhash_k
+        dim = cfg.scoring.embedding_dim
+        exploded = keyed.select(
+            "conv_id", F.explode_outer("rare_tokens").alias("_tok")
+        ).select(
+            "conv_id", md5_hash60_col(F.col("_tok")).alias("_h")
+        ).withColumn("_x31", F.col("_h") % F.lit(1 << 31))
+        sign = F.when(
+            F.shiftright(F.col("_h"), 59).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        mh_aggs = [
+            F.coalesce(
+                F.min(perm_hash_col(F.col("_x31"), i)),
+                F.lit(perm_coeff_b(i) % MERSENNE31),
+            )
+            for i in range(k)
+        ]
+        vec_aggs = [
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("_h") % dim) == d, sign).otherwise(F.lit(0.0))
+                ),
+                F.lit(0.0),
+            )
+            for d in range(dim)
+        ]
+        hashed = exploded.groupBy("conv_id").agg(
+            F.array(*mh_aggs).alias("minhash"), F.array(*vec_aggs).alias("vec")
+        )
+        result = keyed.join(hashed, "conv_id")
+    else:
+        result = (
+            keyed.withColumn("_mv", minhash_embed(F.col("rare_tokens")))
+            .withColumn("minhash", F.col("_mv.minhash"))
+            .withColumn("vec", F.col("_mv.vec"))
+            .drop("_mv")
+        )
     # the persisted `tokenized` feeds the (lazy) projection above; the
     # caller must release it once the result is materialized or cached
     # RDDs accumulate across repeated runs in one session (the pipeline

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from energy_aware_entity_resolution_spark.config import PipelineConfig
-from energy_aware_entity_resolution_spark.functions.embeddings import cosine_col
+from energy_aware_entity_resolution_spark.functions.embeddings import (
+    cosine_col,
+    dot_col,
+    norm_col,
+)
 from energy_aware_entity_resolution_spark.functions.similarity import (
     jaccard_col,
     levenshtein_ratio_col,
@@ -59,9 +63,22 @@ def score_pairs(
             ),
         )
         # signed feature-hash vectors can go slightly negative; a
-        # negative cosine means "dissimilar", clamp for the [0,1] blend
+        # negative cosine means "dissimilar", clamp for the [0,1] blend.
+        # Production vecs are unit (UDF normalizes -> dot == cosine);
+        # portable vecs are unnormalized integer-valued (exact across
+        # engines) -> divide by the norms explicitly.
         .withColumn(
-            "cosine", F.greatest(cosine_col(F.col("vec_a"), F.col("vec_b")), F.lit(0.0))
+            "cosine",
+            F.greatest(
+                cosine_col(F.col("vec_a"), F.col("vec_b"))
+                if not cfg.blocking.portable
+                else dot_col(F.col("vec_a"), F.col("vec_b"))
+                / F.greatest(
+                    norm_col(F.col("vec_a")) * norm_col(F.col("vec_b")),
+                    F.lit(1e-12),
+                ),
+                F.lit(0.0),
+            ),
         )
         .withColumn("exact", F.col("sig_hash_a") == F.col("sig_hash_b"))
     )

@@ -186,6 +186,57 @@ def generate_transcripts(
     )
 
 
+def transcripts_from_documents(
+    docs: DataFrame, tokens_per_turn: int = 5
+) -> DataFrame:
+    """Derive an input_hint-shaped transcripts table from a documents
+    table (doc_id, text, ...) with ONLY oracle-portable operations:
+    whitespace-tokenize each document and chunk consecutive runs of
+    ``tokens_per_turn`` tokens into alternating user/assistant turns.
+
+    This is the correctness-gate bridge: the DuckDB oracle cannot
+    regenerate the numpy synthetic transcripts, but it CAN reproduce
+    this derivation from the shared documents parquet — which makes the
+    WHOLE flagship pipeline (assemble -> featurize -> candidates ->
+    scoring -> decision -> connected components) oracle-checkable
+    end-to-end. The assembled doc equals the space-joined token list,
+    so the oracle skips straight to it while Spark exercises the real
+    turn assembly.
+    """
+    from pyspark.sql import functions as F  # local: keep module top clean
+
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = docs.select(
+        F.format_string("d%08d", F.col("doc_id")).alias("conv_id"),
+        toks.alias("toks"),
+    )
+    n_turns = F.greatest(
+        F.ceil(F.size("toks") / F.lit(tokens_per_turn)).cast("int"), F.lit(1)
+    )
+    turns = base.select(
+        "conv_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_turns - 1)).alias("turn_idx"),
+    )
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.array_join(
+            F.slice(
+                "toks", F.col("turn_idx") * tokens_per_turn + 1, tokens_per_turn
+            ),
+            " ",
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1769774400) + F.col("turn_idx")).alias("ts"),
+    )
+
+
 def generate_labeled_pairs(spark: SparkSession, n_convs: int, seed: int = 42) -> DataFrame:
     """Ground-truth pairs (FIXTURES.md §2): positives within planted
     duplicate sets, hard negatives across entities of the same group
