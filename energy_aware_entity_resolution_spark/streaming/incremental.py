@@ -7,26 +7,41 @@ index incrementally and re-emits per-round similarity snapshots.
 
 Structured Streaming has no count-based windows, so (SURVEY.md §7.3)
 this module keeps the semantics as a deterministic chunked batch loop
-over the same stage functions:
+over the same stage functions. State is APPEND-ONLY — per-batch cost is
+proportional to the BATCH, never to the accumulated state:
 
-- batch membership = pmod(xxhash64(conv_id), n_batches) — stable at
-  any parallelism, no arrival-order dependence (the reference's rid
-  assignment IS arrival-order; ours must be replayable);
-- per batch: featurize new convs → candidates = new×new ∪ new×STATE
-  (stream-static join analog) → score → decide → union into match
-  state → incremental connected components over all match edges;
-- all state lives in parquet dirs under state_dir, one snapshot per
-  batch with a terminal _DONE marker → a killed run resumes from the
-  last complete batch and converges to the same final clusters as a
-  single-shot batch run (tested in tests/test_incremental.py).
+- ``features/batch=N``   new conversations' features (delta, written once)
+- ``scored_rounds/round=N``  per-round scored-pair snapshot (W5)
+- ``matches/batch=N``    match DELTAS (new×new ∪ new×state pairs only —
+  old×old pairs were decided in earlier rounds and never re-explored,
+  so a pair appears in exactly one batch)
+- ``remaps/batch=N``     incremental-CC merge records (old_root →
+  new_root), the C4 component state. Each batch maps its new match
+  edges onto current component roots, runs connected components on the
+  REDUCED component graph (bounded by the batch's match count), and
+  appends only the roots that changed. Cluster reads resolve the remap
+  chain (path-compressed on the driver — entries exist only for merged
+  nodes, a small fraction of memberships; a production deployment
+  compacts the chain periodically with the same resolve logic).
 
-Per-batch round snapshots of scored pairs (the reference's
-`sim_changement-*.csv`, W5) append under scored_rounds/round=N.
+A terminal ``done/_DONE_N`` marker commits each batch; a killed run
+resumes from the last complete batch, every per-batch write targets a
+deterministic partition path with overwrite, so replays are idempotent
+and converge to the same final clusters as a single-shot batch run
+(tested in tests/test_incremental.py).
+
+Equivalence caveat (documented, asserted by a runtime warning): the
+per-batch decision stage sees only that batch's scored pairs, so
+incremental ≡ batch holds for threshold-style configs (the defaults:
+ratio_threshold=1.0, mutual_only=False). An enabled ratio test or
+strict reciprocal-NN reads a record's FULL neighborhood and would need
+the decision re-run over accumulated scored state each round.
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,22 +67,17 @@ _FEATURE_COLS = [
 ]
 
 
-def _batch_dir(state_dir: str, b: int) -> str:
-    return os.path.join(state_dir, f"batch_{b:04d}")
-
-
 def _done(state_dir: str, b: int) -> str:
-    return os.path.join(_batch_dir(state_dir, b), "_DONE")
+    return os.path.join(state_dir, "done", f"_DONE_{b:04d}")
 
 
 def last_complete_batch(state_dir: str) -> int:
     best = -1
-    if os.path.isdir(state_dir):
-        for name in os.listdir(state_dir):
-            if name.startswith("batch_") and os.path.exists(
-                os.path.join(state_dir, name, "_DONE")
-            ):
-                best = max(best, int(name.split("_")[1]))
+    done_dir = os.path.join(state_dir, "done")
+    if os.path.isdir(done_dir):
+        for name in os.listdir(done_dir):
+            if name.startswith("_DONE_"):
+                best = max(best, int(name.rsplit("_", 1)[1]))
     return best
 
 
@@ -119,6 +129,121 @@ def _incremental_candidates(
     )
 
 
+# ------------------------------------------------------- component state
+def _collapse_remaps(rows: list) -> dict[str, str]:
+    """Path-compress accumulated (old_root, new_root) merge records
+    into a flat node -> final-root dict. Chain depth grows at most one
+    per batch; compression makes reads O(entries)."""
+    parent: dict[str, str] = {r["old_root"]: r["new_root"] for r in rows}
+
+    def find(x: str) -> str:
+        seen = []
+        while x in parent and parent[x] != x:
+            seen.append(x)
+            x = parent[x]
+        for s in seen:
+            parent[s] = x
+        return x
+
+    return {k: find(k) for k in list(parent)}
+
+
+def _read_remap_df(
+    spark: SparkSession, state_dir: str, upto_batch: int
+) -> DataFrame | None:
+    """Collapsed remap table from batches < upto_batch (None if empty).
+    Small by construction: one row per ever-merged root."""
+    path = os.path.join(state_dir, "remaps")
+    if not os.path.isdir(path) or not any(
+        n.startswith("batch=") and int(n.split("=")[1]) < upto_batch
+        for n in os.listdir(path)
+    ):
+        return None
+    rows = (
+        spark.read.parquet(path)
+        .where(F.col("batch") < upto_batch)
+        .select("old_root", "new_root")
+        .collect()
+    )
+    collapsed = _collapse_remaps(rows)
+    if not collapsed:
+        return None
+    return spark.createDataFrame(
+        list(collapsed.items()), "old_root string, new_root string"
+    )
+
+
+def _merge_step(
+    spark: SparkSession,
+    new_matches: DataFrame,
+    state_dir: str,
+    b: int,
+    cfg: PipelineConfig,
+) -> None:
+    """Incremental connected components (C4): resolve the batch's match
+    edges to their CURRENT component roots (broadcast remap join), run
+    CC on the reduced component graph — bounded by this batch's match
+    count, independent of total state — and append only the changed
+    roots as remap records."""
+    edges = new_matches.select(
+        F.col("conv_id_a").alias("u"), F.col("conv_id_b").alias("v")
+    )
+    remap = _read_remap_df(spark, state_dir, b)
+    if remap is not None:
+        ru = remap.select(
+            F.col("old_root").alias("u"), F.col("new_root").alias("ru")
+        )
+        rv = remap.select(
+            F.col("old_root").alias("v"), F.col("new_root").alias("rv")
+        )
+        edges = (
+            edges.join(F.broadcast(ru), "u", "left")
+            .join(F.broadcast(rv), "v", "left")
+            .select(
+                F.coalesce("ru", F.col("u")).alias("u"),
+                F.coalesce("rv", F.col("v")).alias("v"),
+            )
+        )
+    reduced = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(reduced, max_iterations=cfg.cluster.max_iterations)
+    new_remaps = comp.where(F.col("conv_id") != F.col("component_id")).select(
+        F.col("conv_id").alias("old_root"),
+        F.col("component_id").alias("new_root"),
+    )
+    new_remaps.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "remaps", f"batch={b}")
+    )
+
+
+def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(conv_id, component_id) for every conversation seen so far:
+    feature ids ⟕ broadcast path-compressed remap chain."""
+    all_ids = spark.read.parquet(os.path.join(state_dir, "features")).select(
+        "conv_id"
+    )
+    remap = _read_remap_df(spark, state_dir, 10**9)
+    if remap is None:
+        return all_ids.select(
+            "conv_id", F.col("conv_id").alias("component_id")
+        )
+    return all_ids.join(
+        F.broadcast(remap.withColumnRenamed("old_root", "conv_id")),
+        "conv_id",
+        "left",
+    ).select(
+        "conv_id", F.coalesce("new_root", F.col("conv_id")).alias("component_id")
+    )
+
+
+def accumulated_matches(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Union of all per-batch match deltas (each pair appears once)."""
+    return spark.read.parquet(os.path.join(state_dir, "matches")).drop("batch")
+
+
 def run_incremental(
     transcripts: DataFrame,
     cfg: PipelineConfig,
@@ -127,13 +252,22 @@ def run_incremental(
     resume: bool = False,
 ) -> DataFrame:
     """Process transcripts in n_batches deterministic chunks,
-    maintaining feature/match state; returns final clusters.
+    maintaining APPEND-ONLY feature/match/component state; returns
+    final clusters.
 
     With resume=True, continues after the last batch that wrote its
-    _DONE marker (kill/resume converges to the single-shot result).
+    done marker (kill/resume converges to the single-shot result).
     """
     spark = transcripts.sparkSession
+    if cfg.scoring.ratio_threshold != 1.0 or cfg.scoring.mutual_only:
+        warnings.warn(
+            "incremental decisions see per-batch neighborhoods only; "
+            "ratio/mutual tests may diverge from the single-shot batch "
+            "result (see module docstring)",
+            stacklevel=2,
+        )
     start = last_complete_batch(state_dir) + 1 if resume else 0
+    os.makedirs(os.path.join(state_dir, "done"), exist_ok=True)
 
     batched = transcripts.withColumn(
         "_batch", F.pmod(F.xxhash64("conv_id"), F.lit(n_batches))
@@ -143,61 +277,44 @@ def run_incremental(
         new = batched.where(F.col("_batch") == b).drop("_batch")
         feats_new = featurize(assemble_conversations(new), cfg)
 
-        bdir = _batch_dir(state_dir, b)
-        os.makedirs(bdir, exist_ok=True)
-
-        if b == 0:
-            state_feats = None
-            prev_matches = None
-        else:
-            prev = _batch_dir(state_dir, b - 1)
-            state_feats = spark.read.parquet(os.path.join(prev, "features"))
-            prev_matches = spark.read.parquet(os.path.join(prev, "matches"))
-
-        # union of state + new features = the entity table this round
-        all_feats = (
-            feats_new.select(*_FEATURE_COLS)
-            if state_feats is None
-            else state_feats.unionByName(feats_new.select(*_FEATURE_COLS))
+        # 1. append this batch's features (idempotent partition write),
+        #    then read the full state back (partition-pruned to <= b so
+        #    a crashed later batch's partial files are never visible)
+        feats_new.select(*_FEATURE_COLS).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "features", f"batch={b}")
         )
-        all_feats.write.mode("overwrite").parquet(os.path.join(bdir, "features"))
-        all_feats = spark.read.parquet(os.path.join(bdir, "features"))
+        all_feats = (
+            spark.read.parquet(os.path.join(state_dir, "features"))
+            .where(F.col("batch") <= b)
+            .drop("batch")
+        )
+        feats_new = spark.read.parquet(
+            os.path.join(state_dir, "features", f"batch={b}")
+        )
 
+        # 2. stream-static candidates + scoring; per-round snapshot (W5)
         cands = _incremental_candidates(feats_new, all_feats, cfg)
         scored = score_pairs(cands, all_feats, cfg)
-        # deterministic per-round partition path + overwrite: a batch
-        # replayed after a crash between this write and _DONE
-        # overwrites its own snapshot instead of duplicating rows
         scored.write.mode("overwrite").parquet(
             os.path.join(state_dir, "scored_rounds", f"round={b}")
         )
+        scored = spark.read.parquet(
+            os.path.join(state_dir, "scored_rounds", f"round={b}")
+        )
+
+        # 3. decisions are DELTAS — a pair is decided in exactly one batch
         new_matches = decide_matches(scored, cfg)
+        new_matches.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "matches", f"batch={b}")
+        )
+        new_matches = spark.read.parquet(
+            os.path.join(state_dir, "matches", f"batch={b}")
+        )
 
-        all_matches = (
-            new_matches
-            if prev_matches is None
-            else prev_matches.unionByName(new_matches)
-            .groupBy("conv_id_a", "conv_id_b")
-            .agg(F.max("score").alias("score"), F.min("decision").alias("decision"))
-        )
-        all_matches.write.mode("overwrite").parquet(os.path.join(bdir, "matches"))
-        all_matches = spark.read.parquet(os.path.join(bdir, "matches"))
-
-        comp = connected_components(
-            all_matches.select(
-                F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
-            ),
-            max_iterations=cfg.cluster.max_iterations,
-        )
-        all_ids = all_feats.select("conv_id")
-        clusters = all_ids.join(comp, "conv_id", "left").select(
-            "conv_id",
-            F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
-        )
-        clusters.write.mode("overwrite").parquet(os.path.join(bdir, "clusters"))
+        # 4. incremental CC over the reduced component graph
+        _merge_step(spark, new_matches, state_dir, b, cfg)
 
         with open(_done(state_dir, b), "w") as f:
             f.write("ok")
 
-    final = _batch_dir(state_dir, n_batches - 1)
-    return spark.read.parquet(os.path.join(final, "clusters"))
+    return resolve_clusters(spark, state_dir)

@@ -86,71 +86,56 @@ def stream_incremental_er(
     incremental ER round against the accumulated state (W4). Returns
     the StreamingQuery; callers stop it or use Trigger.AvailableNow.
     """
-    from energy_aware_entity_resolution_spark.streaming.incremental import (
-        _batch_dir,
-        _incremental_candidates,
-        last_complete_batch,
-    )
+    import os
+
     from energy_aware_entity_resolution_spark.operators.assemble import (
         assemble_conversations,
     )
     from energy_aware_entity_resolution_spark.operators.blocking import featurize
-    from energy_aware_entity_resolution_spark.operators.clustering import (
-        connected_components,
-    )
     from energy_aware_entity_resolution_spark.operators.decision import (
         decide_matches,
     )
     from energy_aware_entity_resolution_spark.operators.scoring import score_pairs
     from energy_aware_entity_resolution_spark.streaming.incremental import (
         _FEATURE_COLS,
+        _done,
+        _incremental_candidates,
+        _merge_step,
+        last_complete_batch,
     )
-    import os
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        """One micro-batch = one incremental round. APPEND-ONLY state
+        (shared layout with streaming.incremental): per-batch feature /
+        match deltas + component remap records — per-batch writes are
+        proportional to the batch, never to the accumulated state."""
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         b = last_complete_batch(state_dir) + 1
+        os.makedirs(os.path.join(state_dir, "done"), exist_ok=True)
         feats_new = featurize(assemble_conversations(batch_df), cfg)
-        bdir = _batch_dir(state_dir, b)
-        os.makedirs(bdir, exist_ok=True)
-        if b == 0:
-            all_feats = feats_new.select(*_FEATURE_COLS)
-            prev_matches = None
-        else:
-            prev = _batch_dir(state_dir, b - 1)
-            state = spark.read.parquet(os.path.join(prev, "features"))
-            all_feats = state.unionByName(feats_new.select(*_FEATURE_COLS))
-            prev_matches = spark.read.parquet(os.path.join(prev, "matches"))
-        all_feats.write.mode("overwrite").parquet(os.path.join(bdir, "features"))
-        all_feats = spark.read.parquet(os.path.join(bdir, "features"))
+        feats_new.select(*_FEATURE_COLS).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "features", f"batch={b}")
+        )
+        all_feats = (
+            spark.read.parquet(os.path.join(state_dir, "features"))
+            .where(F.col("batch") <= b)
+            .drop("batch")
+        )
+        feats_new = spark.read.parquet(
+            os.path.join(state_dir, "features", f"batch={b}")
+        )
         cands = _incremental_candidates(feats_new, all_feats, cfg)
         new_matches = decide_matches(score_pairs(cands, all_feats, cfg), cfg)
-        all_matches = (
-            new_matches
-            if prev_matches is None
-            else prev_matches.unionByName(new_matches)
-            .groupBy("conv_id_a", "conv_id_b")
-            .agg(F.max("score").alias("score"), F.min("decision").alias("decision"))
+        new_matches.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "matches", f"batch={b}")
         )
-        all_matches.write.mode("overwrite").parquet(os.path.join(bdir, "matches"))
-        all_matches = spark.read.parquet(os.path.join(bdir, "matches"))
-        comp = connected_components(
-            all_matches.select(
-                F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
-            )
+        new_matches = spark.read.parquet(
+            os.path.join(state_dir, "matches", f"batch={b}")
         )
-        clusters = (
-            all_feats.select("conv_id")
-            .join(comp, "conv_id", "left")
-            .select(
-                "conv_id",
-                F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
-            )
-        )
-        clusters.write.mode("overwrite").parquet(os.path.join(bdir, "clusters"))
-        with open(os.path.join(bdir, "_DONE"), "w") as f:
+        _merge_step(spark, new_matches, state_dir, b, cfg)
+        with open(_done(state_dir, b), "w") as f:
             f.write(str(epoch_id))
 
     return (

@@ -56,3 +56,39 @@ def test_incremental_round_snapshots_written(spark, transcripts, tmp_path):
     run_incremental(transcripts, PipelineConfig(), state, n_batches=2)
     rounds = spark.read.parquet(f"{state}/scored_rounds")
     assert {r["round"] for r in rounds.select("round").distinct().collect()} == {0, 1}
+
+
+def test_incremental_writes_proportional_to_batch(spark, transcripts, tmp_path):
+    """The O(T²) regression gate: per-batch FEATURE rows written equal
+    that batch's conversation count (append-only deltas), never the
+    accumulated state; match deltas are disjoint across batches; the
+    component state is remap records only (bounded by merges)."""
+    state = str(tmp_path / "state5")
+    n_batches = 3
+    run_incremental(transcripts, PipelineConfig(), state, n_batches=n_batches)
+
+    batched = transcripts.select("conv_id").distinct().withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(n_batches))
+    )
+    expected = {
+        r["_b"]: r["n"]
+        for r in batched.groupBy("_b").agg(F.count("*").alias("n")).collect()
+    }
+    feats = spark.read.parquet(f"{state}/features")
+    written = {
+        r["batch"]: r["n"]
+        for r in feats.groupBy("batch").agg(F.count("*").alias("n")).collect()
+    }
+    assert written == expected  # each conv written exactly once, in its batch
+    # sum of per-batch writes == total state (no wholesale rewrites)
+    assert sum(written.values()) == transcripts.select("conv_id").distinct().count()
+
+    matches = spark.read.parquet(f"{state}/matches")
+    per_pair = (
+        matches.groupBy("conv_id_a", "conv_id_b").count().where(F.col("count") > 1)
+    )
+    assert per_pair.count() == 0  # deltas: a pair decided in exactly one batch
+
+    remaps = spark.read.parquet(f"{state}/remaps")
+    n_matches = matches.count()
+    assert remaps.count() <= 2 * n_matches  # component state bounded by merges

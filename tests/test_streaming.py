@@ -53,9 +53,13 @@ def test_stream_incremental_er_matches_batch(spark, transcripts, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     q.awaitTermination(300)
-    batches = sorted(d for d in os.listdir(state) if d.startswith("batch_"))
-    assert len(batches) == 3
-    final = spark.read.parquet(os.path.join(state, batches[-1], "clusters"))
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        last_complete_batch,
+        resolve_clusters,
+    )
+
+    assert last_complete_batch(state) == 2  # three micro-batches committed
+    final = resolve_clusters(spark, state)
 
     batch_res = run_pipeline(transcripts, PipelineConfig())
 
