@@ -260,8 +260,8 @@ def _q_embedding_lsh_buckets(spark, sf_dir):
 
 
 def _q_ivf_cells(spark, sf_dir):
-    """IVF coarse quantization: vector -> nearest deterministic
-    centroid (the IVF 'scale path' ANN variant)."""
+    """IVF coarse quantization: vector -> nearest centroid. Centroids
+    are the deterministic hash-ordered sample (ivf_centroids iters=0)."""
     from energy_aware_entity_resolution_spark.operators.similarity_search import (
         ivf_assign,
     )
@@ -278,6 +278,32 @@ def _q_ivf_topk(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_topk(emb, k=3, n_cells=8).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_ivf_topk_nprobe2(spark, sf_dir):
+    """IVF multi-cell probe: each query searches its 2 nearest cells
+    (the recall knob the scale path turns instead of widening cells)."""
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        ivf_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=3, n_cells=8, nprobe=2).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_lsh_multiprobe_topk(spark, sf_dir):
+    """Sign-LSH top-2 with Hamming-1 multi-probe (each query also
+    searches the n_bits adjacent buckets)."""
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        bucketed_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return bucketed_topk(emb, k=2, n_bits=4, probe_hamming=1).select(
         "query_id", "neighbor_id", "cosine", "rank"
     )
 
@@ -524,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_buckets": _q_embedding_lsh_buckets,
         "ivf_cells": _q_ivf_cells,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_nprobe2": _q_ivf_topk_nprobe2,
+        "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
         "lang_quality": _q_lang_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "sessionize_events": _q_sessionize_events,
@@ -606,17 +634,25 @@ def _cos_sql(a: str, b: str) -> str:
     return f"round({dot} / greatest({na} * {nb}, 1e-12), 6)"
 
 
+# centroids = deterministic hash-ordered sample (ivf_centroids iters=0):
+# the 8 rows with the smallest md5-60bit(vec_id) — a uniform
+# pseudo-random sample both engines derive identically
 _IVF_ASSIGN_CTE = f"""
 WITH cents AS (
-  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+  LIMIT 8
 ), scored AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          {_cos_sql('e.embedding', 'c.cv')} AS csim
   FROM embeddings e, cents c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+    ORDER BY csim DESC, cell_id ASC) AS rn FROM scored
 ), assigned AS (
-  SELECT vec_id, embedding, cell_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-      ORDER BY csim DESC, cell_id ASC) AS rn FROM scored) WHERE rn = 1
+  SELECT vec_id, embedding, cell_id FROM ranked WHERE rn = 1
+), probed2 AS (
+  SELECT vec_id, embedding, cell_id FROM ranked WHERE rn <= 2
 )
 """
 
@@ -1082,6 +1118,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM pairs) WHERE rank <= 3
+        """,
+        "ivf_topk_nprobe2": _IVF_ASSIGN_CTE + f"""
+            , pairs AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+              FROM probed2 a JOIN assigned b ON a.cell_id = b.cell_id
+              WHERE a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM pairs) WHERE rank <= 3
+        """,
+        "lsh_multiprobe_topk": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)) AS bucket
+              FROM embeddings
+            ), probes AS (
+              SELECT vec_id AS query_id, embedding AS qv,
+                     xor(bucket, m) AS pbucket
+              FROM b, (SELECT unnest([0, 1, 2, 4, 8]) AS m)
+            ), pairs AS (
+              SELECT p.query_id, t.vec_id AS neighbor_id,
+                     {_cos_sql('p.qv', 't.embedding')} AS cosine
+              FROM probes p JOIN b t ON t.bucket = p.pbucket
+              WHERE t.vec_id <> p.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM pairs) WHERE rank <= 2
         """,
         "lang_quality": _lang_quality_sql(),
         "doc_fingerprint": f"""

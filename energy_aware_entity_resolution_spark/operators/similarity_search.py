@@ -8,8 +8,18 @@ dynamic_entity_resolution.py:10-215) with Spark-native strategies:
   |queries| is broadcastable.
 - sign_lsh_buckets / bucketed_topk: random-hyperplane LSH (axis-sign
   buckets, oracle-portable) so the join only explores same-bucket
-  candidates — the 100 TB path; recall < 1 by construction, bounded by
-  multi-probe over Hamming-adjacent buckets.
+  candidates — the 100 TB path. Bucket cardinality SCALES WITH N
+  (n_bits=None derives ceil(log2(N / target_bucket_rows)) so the
+  within-bucket self-join stays ~quadratic-in-constant, not in N);
+  recall < 1 by construction, recovered by multi-probe over
+  Hamming-adjacent buckets (probe_hamming=1 probes n_bits+1 buckets).
+- ivf_*: coarse-quantized inverted-file search. Centroids are a
+  deterministic hash-ordered sample (scale-safe TakeOrdered, oracle-
+  portable) optionally refined by Lloyd iterations (ivf_centroids;
+  float-sum order makes refined centroids run-deterministic only up to
+  ulp, so the oracle checks the sampled variant and pytest checks
+  refined recall). n_cells=None derives N / target_cell_rows; queries
+  probe their nprobe nearest cells.
 - block_topk_applyinpandas: per-block NumPy matmul top-k — the direct
   analog of the reference's blocked `E_block @ E.T` kernel
   (dynamic_entity_resolution.py:161-215), but per blocking key inside
@@ -18,6 +28,7 @@ dynamic_entity_resolution.py:10-215) with Spark-native strategies:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -29,6 +40,9 @@ from pyspark.sql.window import Window
 from energy_aware_entity_resolution_spark.functions.embeddings import (
     dot_col,
     norm_col,
+)
+from energy_aware_entity_resolution_spark.functions.portable_hash import (
+    md5_hash60_col,
 )
 
 
@@ -78,16 +92,29 @@ def brute_force_topk(
     )
 
 
+def _auto_bits(n: int, target_bucket_rows: int) -> int:
+    return max(1, min(24, math.ceil(math.log2(max(n / target_bucket_rows, 2)))))
+
+
 def sign_lsh_buckets(
     vectors: DataFrame,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Axis-aligned random-hyperplane LSH: bucket = sign bits of the
     first n_bits coordinates. Deterministic and SQL-portable (the
     general rotated-hyperplane variant just pre-multiplies a fixed
-    rotation; axis planes keep the oracle trivial)."""
+    rotation; axis planes keep the oracle trivial).
+
+    n_bits=None derives it from the table size so expected bucket
+    occupancy ≈ target_bucket_rows — a CONSTANT n_bits makes the
+    within-bucket self-join O((N/2^bits)²), quadratic in N; scaling
+    bits with log2(N) keeps it linear. Costs one count() action.
+    """
+    if n_bits is None:
+        n_bits = _auto_bits(vectors.count(), target_bucket_rows)
     bucket = F.lit(0)
     for j in range(n_bits):
         bucket = bucket + F.when(
@@ -101,14 +128,37 @@ def sign_lsh_buckets(
 def bucketed_topk(
     vectors: DataFrame,
     k: int = 5,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
+    target_bucket_rows: int = 4096,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: equi-join within LSH buckets."""
+    """Approximate all-pairs top-k: equi-join within LSH buckets.
+
+    probe_hamming=1 multi-probes: each query additionally searches the
+    n_bits buckets at Hamming distance 1 from its own (sign flips of
+    one hyperplane — where near-boundary neighbors land), recovering
+    most of the recall a single-bucket probe loses. Join stays an
+    equi-join; the query side fans out ×(n_bits+1), the index side is
+    untouched.
+    """
+    if n_bits is None:
+        n_bits = _auto_bits(vectors.count(), target_bucket_rows)
     b = sign_lsh_buckets(vectors, n_bits, id_col, vec_col)
-    a_side = b.select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    masks = [0] + ([1 << j for j in range(n_bits)] if probe_hamming >= 1 else [])
+    a_side = (
+        b.select(
+            F.col("bucket"),
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        .withColumn("_m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket"),
+            "query_id",
+            "qv",
+        )
     )
     b_side = b.select(
         F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vv")
@@ -124,25 +174,77 @@ def bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def ivf_assign(
+def ivf_centroids(
     vectors: DataFrame,
-    n_cells: int = 8,
+    n_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iters: int = 0,
 ) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its nearest of
-    n_cells centroid vectors.
+    """(cell_id, cv) centroid table.
 
-    Centroids are the vectors with the n_cells smallest ids —
-    deterministic, derivable by any engine (a k-means fit would be the
-    production upgrade; the cell-probe structure is identical). The
-    centroid set is tiny and broadcast; assignment is one
-    broadcast-join + argmax, no shuffle of the big side.
+    iters=0: deterministic hash-ordered sample — the n_cells rows with
+    the smallest md5-60bit(id) (a uniform pseudo-random sample any
+    engine can reproduce; planned as TakeOrderedAndProject — a
+    distributed top-k, never a global sort). iters>0 refines with Lloyd
+    steps (assign → per-cell element-wise mean), each one broadcast
+    join + one groupBy; empty cells keep their previous centroid.
+    Float-mean partial-sum order makes refined centroids deterministic
+    only up to ulp — use iters=0 where bit-reproducibility matters.
     """
-    cents = vectors.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+    cents = (
+        vectors.select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+        )
+        .orderBy(
+            md5_hash60_col(F.col("cell_id").cast("string")), F.col("cell_id")
+        )
+        .limit(n_cells)
     )
-    scored = vectors.crossJoin(F.broadcast(cents)).select(
+    if iters <= 0:
+        return cents
+    dim = len(vectors.select(vec_col).head()[0])
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, None, id_col, vec_col, centroids=cents)
+        means = assigned.groupBy("cell_id").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), d + 1)).cast("float")
+                    for d in range(dim)
+                ]
+            ).alias("mv")
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select("cell_id", F.coalesce("mv", F.col("cv")).alias("cv"))
+        )
+    return cents
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int | None = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
+    target_cell_rows: int = 4096,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nprobe
+    nearest centroids.
+
+    Default centroids = ivf_centroids(iters=0) (hash-sampled,
+    oracle-portable); pass a refined table for k-means cells.
+    n_cells=None derives N / target_cell_rows (one count action) —
+    constant cell counts make the within-cell join quadratic in N.
+    The centroid set is tiny and broadcast; assignment is one
+    broadcast-join + windowed argmax, no shuffle of the big side.
+    """
+    if centroids is None:
+        if n_cells is None:
+            n_cells = max(1, round(vectors.count() / target_cell_rows))
+        centroids = ivf_centroids(vectors, n_cells, id_col, vec_col)
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
         "cell_id",
@@ -151,26 +253,39 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+        .where(F.col("rn") <= nprobe)
+        .select(id_col, vec_col, "cell_id", "rn")
     )
 
 
 def ivf_topk(
     vectors: DataFrame,
     k: int = 3,
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k: search only within the query's
-    cell (nprobe=1). The reference's FAISS flat index re-expressed as
-    partitioned search; recall rises with n_probe / falls with n_cells."""
-    assigned = ivf_assign(vectors, n_cells, id_col, vec_col)
-    a = assigned.select(
+    """IVF-bucketed approximate top-k: each query searches its nprobe
+    nearest cells; the index side stays single-cell (a vector is OWNED
+    by exactly one cell, so probed pairs are already distinct). The
+    reference's FAISS flat index re-expressed as partitioned search;
+    recall rises with nprobe / falls with n_cells."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            vectors, n_cells if n_cells is not None else 8, id_col, vec_col
+        )
+    owned = ivf_assign(vectors, None, id_col, vec_col, centroids=centroids)
+    probes = (
+        ivf_assign(vectors, None, id_col, vec_col, centroids=centroids, nprobe=nprobe)
+        if nprobe > 1
+        else owned
+    )
+    a = probes.select(
         "cell_id", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    b = assigned.select(
+    b = owned.select(
         "cell_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vv")
     )
     scored = (
