@@ -100,11 +100,12 @@ def train_word2vec_embeddings(
 
 
 def predict_pairs_stub(pairs: DataFrame, model_path: str | None = None) -> DataFrame:
-    """M7 surface: PLM pair classifier (reference llm/ trains a BERT
-    sequence-pair model). Out of the correctness path (SURVEY.md M7);
-    the integration point is an iterator pandas UDF with the broadcast
-    model — stubbed here because no torch/transformers in this
-    environment."""
+    """M7 torch-BERT surface: raises by declaration (no torch in this
+    environment). The WORKING inference skeleton — broadcast
+    sklearn-style scorer through an iterator pandas UDF, the wiring a
+    torch model would reuse — is operators.pair_classifier
+    (classify_pairs / make_pair_scorer_udf), tested with a toy
+    logistic model."""
     if model_path is None:
         raise NotImplementedError(
             "PLM pair classification needs a trained model + torch; "
