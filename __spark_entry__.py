@@ -244,6 +244,18 @@ def _q_simhash(spark, sf_dir):
     return docs.select("doc_id", simhash_col(F.col("text"), bits=32).alias("simhash"))
 
 
+def _q_simhash_dedup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole chunk banding
+    (Hamming <= 3 over 32 bits, capped hot chunks)."""
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    return simhash_dedup_pairs(
+        _read(spark, sf_dir, "documents"), bits=32, max_hamming=3
+    )
+
+
 def _q_embedding_topk(spark, sf_dir):
     """J7/M1: exact brute-force cosine top-5 for sampled queries."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -546,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash": _q_simhash,
+        "simhash_dedup_pairs": _q_simhash_dedup_pairs,
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_buckets": _q_embedding_lsh_buckets,
         "ivf_cells": _q_ivf_cells,
@@ -1077,6 +1090,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
             FROM t
+        """,
+        "simhash_dedup_pairs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({_WS_DISTINCT}, tok -> {_H('tok')}) AS hs
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 32), j ->
+                  CASE WHEN list_sum(list_transform(hs, h ->
+                     CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sh
+              FROM t
+            ), banded AS (
+              SELECT doc_id, sh, i::INT AS chunk_idx,
+                     (sh >> (i * 8)::INT) & 255 AS chunk
+              FROM sh, (SELECT unnest(range(0, 4)) AS i)
+            ), capped AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY chunk_idx, chunk) <= 200
+            )
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   bit_count(xor(a.sh, b.sh))::INT AS hamming
+            FROM capped a JOIN capped b
+              ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -59,34 +59,53 @@ def exact_pairs(features: DataFrame) -> DataFrame:
 
 
 def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """J8: self-join the capped band table on the band key.
+    """J8: within-block pairs of the capped band table.
 
-    Blocks over max_block_size are either dropped (reference hub-cap
-    semantics — boilerplate bands are noise) or, with
-    oversize_policy='salt', kept and exploded via the deterministic
-    salted self-join so a hot band becomes ~s²/2 balanced tasks
-    (recall-preserving). Residual in-cap skew is left to AQE skew-join
-    splitting. Output deduped by candidate_pairs' terminal groupBy.
+    ONE shuffle: groupBy the band key collecting member ids, keep
+    blocks within max_block_size (reference hub-cap semantics —
+    boilerplate bands are noise), and explode each block's C(m,2)
+    pairs with a JVM array comprehension. The previous shape — cap via
+    count+semi-join then a sort-merge SELF-join — computed the band
+    table three times and shuffled it thrice; measured 2.8x the CPU of
+    this one at 120k conversations. The cap bounds the per-group array
+    (≤ max_block ids) and the explosion (≤ m(m-1)/2 rows), so the
+    aggregate never holds an unbounded block.
+
+    With oversize_policy='salt', blocks above the cap are kept and
+    exploded via the deterministic salted self-join so a hot band
+    becomes ~s²/2 balanced tasks (recall-preserving). Output is
+    deduped by candidate_pairs' terminal groupBy — pairs sharing
+    several bands emit once per band here; an extra dropDuplicates
+    would be one more full shuffle of the largest intermediate.
     """
-    capped = cap_blocks(bands, ["band_id", "band_hash"], cfg.blocking.max_block_size)
-    a = capped.alias("a")
-    b = capped.alias("b")
-    # NOTE: not deduped here — candidate_pairs' terminal groupBy does
-    # the cross-band dedup; an extra dropDuplicates would be one more
-    # full shuffle of the largest intermediate in the pipeline
-    out = (
-        a.join(b, on=["band_id", "band_hash"])
-        .where(F.col("a.conv_id") < F.col("b.conv_id"))
-        .select(
-            F.col("a.conv_id").alias("conv_id_a"),
-            F.col("b.conv_id").alias("conv_id_b"),
+    max_block = cfg.blocking.max_block_size
+    grouped = bands.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_set("conv_id")).alias("ids")
+    )
+    small = grouped.where(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_block)
+    )
+    ids = F.col("ids")
+    # (a, b) for all i < j — transform's second lambda arg is the index
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    x.alias("conv_id_a"), y.alias("conv_id_b")
+                ),
+            ),
         )
+    )
+    out = (
+        small.select(F.explode(pair_structs).alias("p"))
+        .select("p.conv_id_a", "p.conv_id_b")
         .withColumn("source", F.lit("lsh"))
     )
     if cfg.blocking.oversize_policy == "salt":
-        sizes = bands.groupBy("band_id", "band_hash").count()
-        big_keys = sizes.where(F.col("count") > cfg.blocking.max_block_size).drop(
-            "count"
+        big_keys = grouped.where(F.size("ids") > max_block).select(
+            "band_id", "band_hash"
         )
         big = bands.join(big_keys, ["band_id", "band_hash"], "left_semi")
         salted = salted_self_join_pairs(

@@ -161,6 +161,60 @@ def simhash_col(text_col: F.Column, bits: int = 32) -> F.Column:
     return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_block: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, at scale.
+
+    Pigeonhole banding (Manku et al., WWW'07 simhash dedup): split the
+    b-bit fingerprint into (max_hamming + 1) chunks — any pair within
+    Hamming distance d agrees EXACTLY on at least one chunk — so
+    candidate generation is an equi-join on (chunk_idx, chunk_value),
+    never an all-pairs scan; the exact Hamming test
+    (bit_count(xor) <= d) then filters candidates. Hot chunks (all-zero
+    fingerprints of boilerplate) are capped like LSH bands (J11).
+
+    Output: (doc_id_a, doc_id_b, hamming).
+    """
+    chunks = max_hamming + 1
+    if bits % chunks:
+        raise ValueError(f"bits={bits} must divide into {chunks} chunks")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = docs.select("doc_id", simhash_col(F.col(text_col), bits).alias("sh"))
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(chunks)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "sh", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    )
+    sizes = banded.groupBy("chunk_idx", "chunk").count()
+    keep = sizes.where(F.col("count") <= max_block).drop("count")
+    capped = banded.join(keep, ["chunk_idx", "chunk"], "left_semi")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_cols: list[str],
