@@ -50,8 +50,21 @@ def file_reader(
     )
 
 
+def parse_kafka_value(raw: DataFrame) -> DataFrame:
+    """Decode Kafka-shaped rows (binary ``value``) into transcript rows
+    (reference kafkaconsumer.py:448 json.loads's flat records). Split
+    out from kafka_reader so the parse contract is testable without
+    the connector jar: any DataFrame with a binary/string ``value``
+    column — including a static fixture — goes through the exact
+    expression the streaming source uses. Malformed JSON yields NULL
+    fields (PERMISSIVE), never a poison-pill batch failure."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), TRANSCRIPT_STRUCT).alias("r")
+    ).select("r.*")
+
+
 def kafka_reader(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
-    """Kafka JSON source (reference kafkaconsumer.py:448 decodes flat
+    """Kafka JSON source (reference kafkaconsumer.py:404-492 consumes
     JSON records). Requires the kafka connector jar at runtime."""
     raw = (
         spark.readStream.format("kafka")
@@ -59,9 +72,7 @@ def kafka_reader(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
         .option("subscribe", topic)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), TRANSCRIPT_STRUCT).alias("r")
-    ).select("r.*")
+    return parse_kafka_value(raw)
 
 
 def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",

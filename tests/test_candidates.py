@@ -166,3 +166,40 @@ def test_sorted_neighborhood_pairs_nearby_sigs(spark, transcripts):
         1 for g in range(20) if (f"conv_{g * 10:08d}", f"conv_{g * 10 + 1:08d}") in pairs
     )
     assert found >= 15
+
+
+def test_lsh_group_explosion_equals_naive_self_join(spark):
+    """The one-shuffle group-explosion lsh_pairs must emit exactly the
+    pair multiset-as-set the textbook capped self-join produces —
+    random band tables, including an over-cap block."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for band in range(6):
+        for key in range(4):
+            members = rng.sample(range(1000), rng.randint(0, 8))
+            rows += [(f"c{m:04d}", band, key) for m in members]
+    # one hot block above the cap
+    rows += [(f"h{m:04d}", 7, 0) for m in range(60)]
+    bands = spark.createDataFrame(
+        rows, "conv_id string, band_id int, band_hash long"
+    )
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in lsh_pairs(bands, CFG).collect()
+    }
+    capped = cap_blocks(bands, ["band_id", "band_hash"], CFG.blocking.max_block_size)
+    a, b = capped.alias("a"), capped.alias("b")
+    want = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert not any(x.startswith("h") for p in got for x in p)  # hot block dropped

@@ -72,6 +72,32 @@ def test_stream_incremental_er_matches_batch(spark, transcripts, tmp_path):
     assert parts(final) == parts(batch_res.clusters)
 
 
+def test_parse_kafka_value_roundtrip(spark, transcripts):
+    """The Kafka value-decode expression (shared verbatim by
+    kafka_reader) reconstructs transcript rows from JSON payloads and
+    tolerates malformed records (NULL fields, no batch failure)."""
+    from energy_aware_entity_resolution_spark.streaming.structured import (
+        parse_kafka_value,
+    )
+
+    sample = transcripts.limit(50)
+    payloads = sample.select(
+        F.to_json(
+            F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        ).cast("binary").alias("value")
+    )
+    bad = spark.createDataFrame(
+        [(bytearray(b"{not json"),)], "value binary"
+    )
+    parsed = parse_kafka_value(payloads.unionByName(bad))
+    good = parsed.where(F.col("conv_id").isNotNull())
+    assert good.count() == 50
+    back = good.select(*sample.columns)
+    assert back.exceptAll(sample).isEmpty()
+    assert sample.exceptAll(back).isEmpty()
+    assert parsed.where(F.col("conv_id").isNull()).count() == 1
+
+
 def test_windowed_turn_counts_streaming(spark, transcripts, tmp_path):
     src_dir = str(tmp_path / "wsrc")
     transcripts.write.mode("overwrite").parquet(src_dir)
