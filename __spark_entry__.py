@@ -543,6 +543,22 @@ def _q_er_eval_grid(spark, sf_dir):
     )
 
 
+def _q_er_score_hist(spark, sf_dir):
+    """Score-distribution histogram by ground-truth label — the data
+    behind the reference's similarity scatter plot
+    (similarity_anlysis.py)."""
+    from energy_aware_entity_resolution_spark.operators.evaluation import (
+        score_label_histogram,
+    )
+
+    res = _shared_docs_pipeline(spark, sf_dir)
+    return score_label_histogram(
+        res.scored.select("conv_id_a", "conv_id_b", "score"),
+        _er_truth_pairs(spark, sf_dir),
+        bins=20,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "assemble_events": _q_assemble_events,
@@ -577,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": _q_er_clusters,
         "er_matches": _q_er_matches,
         "er_eval_grid": _q_er_eval_grid,
+        "er_score_hist": _q_er_score_hist,
     }
 
 
@@ -968,6 +985,26 @@ FROM (SELECT *, tp / greatest(tp + fp, 1) AS p, tp / greatest(tp + fn, 1) AS r
     )
 
 
+def _er_score_hist_sql() -> str:
+    return (
+        "WITH " + _er_pipeline_sql()
+        + f""",
+truthH AS (
+  SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b
+  FROM (SELECT printf('d%08d', doc_id) AS conv_id, {_H('text')} AS th
+        FROM documents) a
+  JOIN (SELECT printf('d%08d', doc_id) AS conv_id, {_H('text')} AS th
+        FROM documents) b
+    ON a.th = b.th AND a.conv_id < b.conv_id
+)
+SELECT least(floor(s.score * 20)::BIGINT, 19) AS bin,
+       CASE WHEN t.conv_id_a IS NOT NULL THEN 1 ELSE 0 END AS is_match,
+       count(*) AS n
+FROM scoredT s LEFT JOIN truthH t USING (conv_id_a, conv_id_b)
+GROUP BY 1, 2"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "assemble_events": """
@@ -1279,4 +1316,5 @@ def oracle_sql() -> dict[str, str]:
         "er_matches": _er_matches_sql(),
         "er_clusters": _er_clusters_sql(),
         "er_eval_grid": _er_eval_grid_sql(),
+        "er_score_hist": _er_score_hist_sql(),
     }

@@ -63,6 +63,34 @@ def pairwise_metrics_bis(
     return pairwise_metrics(touching, labeled)
 
 
+def score_label_histogram(
+    scored: DataFrame, truth_pairs: DataFrame, bins: int = 20
+) -> DataFrame:
+    """The data behind the reference's similarity scatter
+    (dataprocessing/similarity_anlysis.py:6-44 plots each scored pair
+    colored by ground-truth membership): per (score bin, is_match)
+    pair counts. The plot is driver-side matplotlib in the reference;
+    the distributed analog is this histogram — one join + one groupBy.
+
+    Output: (bin, is_match, n) with bin = floor(score·bins), the top
+    boundary folded into the last bin.
+    """
+    truth = truth_pairs.select("conv_id_a", "conv_id_b").withColumn(
+        "is_match", F.lit(1)
+    )
+    labeled = scored.join(truth, ["conv_id_a", "conv_id_b"], "left").select(
+        "score", F.coalesce("is_match", F.lit(0)).alias("is_match")
+    )
+    bin_col = F.least(
+        F.floor(F.col("score") * bins).cast("long"), F.lit(bins - 1).cast("long")
+    )
+    return (
+        labeled.select(bin_col.alias("bin"), "is_match")
+        .groupBy("bin", "is_match")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def evaluation_grid(
     scored: DataFrame,
     truth_pairs: DataFrame,
