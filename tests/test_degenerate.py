@@ -1,0 +1,51 @@
+"""Degenerate inputs: the pipeline must produce sane empty/singleton
+results, never throw — empty tables and NULL text happen constantly in
+100 TB corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_aware_entity_resolution_spark.config import PipelineConfig
+from energy_aware_entity_resolution_spark.plans import run_pipeline
+from energy_aware_entity_resolution_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+)
+
+
+def test_empty_transcripts(spark):
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    res = run_pipeline(empty, PipelineConfig())
+    assert res.clusters.count() == 0
+    assert res.matches.count() == 0
+    res.release()
+
+
+def test_single_conversation_null_text(spark):
+    rows = [
+        ("c1", 0, "user", None, None, None),
+        ("c1", 1, "assistant", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    res = run_pipeline(df, PipelineConfig())
+    clusters = res.clusters.collect()
+    assert len(clusters) == 1
+    assert clusters[0]["component_id"] == "c1"  # its own singleton
+    res.release()
+
+
+def test_two_null_text_conversations_are_exact_dups(spark):
+    """NULL text cleans to '' on every turn; two all-NULL conversations
+    have equal (empty) signatures — the exact path must pair them, not
+    crash on empty token arrays."""
+    rows = [
+        ("a", 0, "user", None, None, None),
+        ("b", 0, "user", None, None, None),
+        ("z", 0, "user", "totally unrelated content words here", None, None),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    res = run_pipeline(df, PipelineConfig())
+    comp = {r["conv_id"]: r["component_id"] for r in res.clusters.collect()}
+    assert comp["a"] == comp["b"] == "a"
+    assert comp["z"] == "z"
+    res.release()
