@@ -83,14 +83,25 @@ def _jvm_cpu_ns(spark) -> int | None:
         return None
 
 
+# CPU energy per core-thread-second (J): the reference meters real
+# power with Ecofloc/codecarbon (README.md:21, main.py:8-9,235); no
+# RAPL/power interface exists in this sandbox, so the engine reports
+# an explicit MODELED estimate: cpu_s x this constant. Default ≈ a
+# server-class core's active power share (override per deployment).
+CPU_WATTS_PER_CORE = 5.0
+
+
 @dataclass
 class StageMetrics:
-    """Driver-side per-stage wall/CPU metrics collector (the engine's
-    stand-in for the reference's Prometheus counters + energy meter)."""
+    """Driver-side per-stage wall/CPU/energy metrics collector (the
+    engine's stand-in for the reference's Prometheus counters +
+    Ecofloc energy meter; energy is cpu_s-based and explicitly a
+    model, see CPU_WATTS_PER_CORE)."""
 
     run_id: str
     rows: list[dict] = field(default_factory=list)
     spark: object | None = None
+    watts_per_core: float = CPU_WATTS_PER_CORE
     _last_cpu_ns: int | None = None
 
     def start(self) -> float:
@@ -111,6 +122,9 @@ class StageMetrics:
                 "stage": stage,
                 "wall_ms": (time.monotonic() - t0) * 1000.0,
                 "cpu_s": cpu_s,
+                "energy_j": (
+                    cpu_s * self.watts_per_core if cpu_s is not None else None
+                ),
                 "rows": n_rows,
             }
         )
@@ -123,9 +137,13 @@ class StageMetrics:
                     r["stage"],
                     float(r["wall_ms"]),
                     r.get("cpu_s"),
+                    r.get("energy_j"),
                     r["rows"],
                 )
                 for r in self.rows
             ],
-            schema="run_id string, stage string, wall_ms double, cpu_s double, rows long",
+            schema=(
+                "run_id string, stage string, wall_ms double, cpu_s double,"
+                " energy_j double, rows long"
+            ),
         )

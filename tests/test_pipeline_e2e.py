@@ -83,9 +83,18 @@ def test_stage_metrics_record_cpu_proxy(spark, transcripts):
 
     res = run_pipeline(transcripts, PipelineConfig())
     df = res.metrics.to_df(spark)
-    assert set(df.columns) == {"run_id", "stage", "wall_ms", "cpu_s", "rows"}
+    assert set(df.columns) == {
+        "run_id", "stage", "wall_ms", "cpu_s", "energy_j", "rows"
+    }
     rows = {r["stage"]: r for r in df.collect()}
-    assert rows["featurize"]["cpu_s"] is None or rows["featurize"]["cpu_s"] >= 0
+    feat = rows["featurize"]
+    assert feat["cpu_s"] is None or feat["cpu_s"] >= 0
+    if feat["cpu_s"] is not None:  # modeled energy = cpu_s x watts const
+        from energy_aware_entity_resolution_spark.operators.audit import (
+            CPU_WATTS_PER_CORE,
+        )
+
+        assert abs(feat["energy_j"] - feat["cpu_s"] * CPU_WATTS_PER_CORE) < 1e-9
 
 
 def test_pipeline_checkpoint_dir_writes_resumable_state(spark, transcripts, tmp_path):
