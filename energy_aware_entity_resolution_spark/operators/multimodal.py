@@ -2,12 +2,19 @@
 columns with typed metadata.
 
 A 100 TB training-data pipeline carries media alongside text. The
-Spark-side design is real and tested — schema, partitioning, Arrow
-batch shape, UDF signatures — while the actual codec work is stubbed:
-this container has no image/audio libraries, so decode raises
-NotImplementedError unless the deterministic fake decoder is selected
-(fake mode hashes bytes into a fixed-shape feature vector, which keeps
-the plumbing testable end-to-end).
+Spark-side design — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested. Decoding:
+
+- mode='real' DECODES uncompressed container formats with no codec
+  library at all: WAV/PCM audio (stdlib ``wave`` + numpy) and 24-bit
+  uncompressed BMP images (manual header parse), each featurized to a
+  fixed FEATURE_DIM vector (audio: RMS/ZCR/duration + log-spectral
+  profile; image: per-channel stats + 3x3 gray thumbnail + aspect).
+  Compressed formats (jpeg/png/mp3/mp4 ...) raise NotImplementedError
+  — those genuinely need codec libraries absent from this container;
+  the dispatch point is `_REAL_DECODERS`.
+- mode='fake' hashes bytes into a fixed-shape unit vector — the
+  deterministic stand-in that keeps plumbing testable for any mime.
 
 Schema convention:
   media(media_id long, kind string, payload binary,
@@ -18,6 +25,9 @@ Schema convention:
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,15 +53,92 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in arr]
 
 
+# --------------------------------------------------- real decoders
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (mono float waveform in [-1,1], sample_rate).
+    Stdlib wave + numpy only — no codec library."""
+    with wave.open(io.BytesIO(payload)) as w:
+        sr = w.getframerate()
+        n, sw, ch = w.getnframes(), w.getsampwidth(), w.getnchannels()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        arr -= 128.0  # 8-bit WAV is unsigned
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    peak = np.abs(arr).max()
+    return (arr / peak if peak > 0 else arr), sr
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (height, width, 3) uint8 RGB.
+    Manual header parse — no codec library."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    for r in range(height):
+        off = data_off + r * row_bytes
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
+        y = height - 1 - r if bottom_up else r
+        img[y] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
+    return img
+
+
+def _wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    x, sr = decode_wav(payload)
+    n = len(x)
+    rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+    dur = n / sr if sr else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    bins = np.array_split(spec, dim - 3) if len(spec) else []
+    prof = [float(np.log1p(b.mean())) if len(b) else 0.0 for b in bins]
+    vec = np.array([rms, zcr, dur] + prof, dtype=np.float64)
+    return [float(v) for v in vec / max(np.linalg.norm(vec), 1e-12)]
+
+
+def _bmp_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    img = decode_bmp(payload).astype(np.float64) / 255.0
+    h, w, _ = img.shape
+    mean_rgb = img.mean(axis=(0, 1))
+    std_rgb = img.std(axis=(0, 1))
+    gray = img.mean(axis=2)
+    # 3x3 thumbnail: block means over an even grid
+    ys = np.array_split(np.arange(h), 3)
+    xs = np.array_split(np.arange(w), 3)
+    thumb = [gray[np.ix_(y, x)].mean() for y in ys for x in xs]
+    vec = np.array(
+        list(mean_rgb) + list(std_rgb) + thumb + [w / max(h, 1)],
+        dtype=np.float64,
+    )
+    return [float(v) for v in vec / max(np.linalg.norm(vec), 1e-12)]
+
+
+_REAL_DECODERS = {
+    "audio/wav": _wav_features,
+    "image/bmp": _bmp_features,
+}
+
+
 def decode_and_featurize(
     media: DataFrame, mode: str = "fake", batch_hint: int | None = None
 ) -> DataFrame:
     """payload binary -> features array<float> via mapInPandas.
 
-    mode='real' is the integration point for actual codecs (PIL,
-    torchaudio, pyav ...) — deliberately NotImplemented here;
-    mode='fake' runs the identical Spark plumbing with the
-    deterministic fake featurizer.
+    mode='real' decodes the codec-free formats in `_REAL_DECODERS`
+    (WAV, uncompressed BMP) and raises for mimes that genuinely need
+    codec libraries; mode='fake' runs the identical Spark plumbing
+    with the deterministic hash featurizer for any payload.
     """
     if mode not in ("fake", "real"):
         raise ValueError(mode)
@@ -59,11 +146,20 @@ def decode_and_featurize(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if mode == "real":
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not "
-                    "present in this environment; use mode='fake'"
-                )
-            feats = [ _fake_feature(p) for p in pdf["payload"] ]
+                feats = []
+                for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                    mime = (meta or {}).get("mime", "")
+                    decoder = _REAL_DECODERS.get(mime)
+                    if decoder is None:
+                        raise NotImplementedError(
+                            f"no codec-free decoder for {mime!r}; formats "
+                            f"needing codec libraries are out of scope in "
+                            f"this environment (supported: "
+                            f"{sorted(_REAL_DECODERS)})"
+                        )
+                    feats.append(decoder(bytes(payload)))
+            else:
+                feats = [_fake_feature(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
