@@ -244,6 +244,69 @@ def accumulated_matches(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, "matches")).drop("batch")
 
 
+def round_evaluation_timeseries(
+    spark: SparkSession, state_dir: str, truth_pairs: DataFrame
+) -> DataFrame:
+    """Per-round match quality over the incremental run — the
+    reference's streaming evaluation re-expressed (its
+    evaluation_timeseires.py:194-252 re-reads each round's similarity
+    snapshot and reports P/R/F1 per window).
+
+    Match state "as of round r" = the union of batch deltas with
+    batch <= r, so the whole timeseries is ONE pass: cross the
+    (match, batch) rows with the round list (tiny, broadcast), keep
+    batch <= round, aggregate per round against the ground truth.
+
+    Output: (round, tp, fp, fn, precision, recall, f1) — one row per
+    completed batch, monotone in matched pairs (deltas only accrue).
+    """
+    matches = spark.read.parquet(os.path.join(state_dir, "matches")).select(
+        "conv_id_a", "conv_id_b", "batch"
+    )
+    last = last_complete_batch(state_dir)
+    rounds = spark.range(0, last + 1).select(F.col("id").cast("int").alias("round"))
+    truth = truth_pairs.select("conv_id_a", "conv_id_b").withColumn(
+        "is_true", F.lit(1)
+    )
+    labeled = matches.join(truth, ["conv_id_a", "conv_id_b"], "left").select(
+        "batch", F.coalesce("is_true", F.lit(0)).alias("is_true")
+    )
+    per_round = (
+        labeled.crossJoin(F.broadcast(rounds))
+        .where(F.col("batch") <= F.col("round"))
+        .groupBy("round")
+        .agg(
+            F.sum("is_true").alias("tp"),
+            F.sum(1 - F.col("is_true")).alias("fp"),
+        )
+    )
+    n_truth = truth.count()
+    out = (
+        rounds.join(per_round, "round", "left")
+        .select(
+            "round",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+        )
+        .withColumn("fn", F.lit(n_truth) - F.col("tp"))
+        .withColumn(
+            "precision", F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+        )
+        .withColumn(
+            "recall", F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.orderBy("round")
+
+
 def run_incremental(
     transcripts: DataFrame,
     cfg: PipelineConfig,

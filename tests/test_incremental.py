@@ -9,6 +9,7 @@ from energy_aware_entity_resolution_spark.config import PipelineConfig
 from energy_aware_entity_resolution_spark.plans import run_pipeline
 from energy_aware_entity_resolution_spark.streaming.incremental import (
     last_complete_batch,
+    round_evaluation_timeseries,
     run_incremental,
 )
 
@@ -92,3 +93,20 @@ def test_incremental_writes_proportional_to_batch(spark, transcripts, tmp_path):
     remaps = spark.read.parquet(f"{state}/remaps")
     n_matches = matches.count()
     assert remaps.count() <= 2 * n_matches  # component state bounded by merges
+
+
+def test_round_evaluation_timeseries(spark, transcripts, labeled_pairs, tmp_path):
+    """The streaming-evaluation analog (reference
+    evaluation_timeseires.py): per-round P/R/F1 over accumulated match
+    deltas — tp monotone in rounds, final round perfect on the planted
+    fixture (matching the batch F1 gate)."""
+    state = str(tmp_path / "state_ts")
+    n_batches = 3
+    run_incremental(transcripts, PipelineConfig(), state, n_batches=n_batches)
+    truth = labeled_pairs.where(F.col("label") == 1)
+    ts = round_evaluation_timeseries(spark, state, truth).collect()
+    assert [r["round"] for r in ts] == list(range(n_batches))
+    tps = [r["tp"] for r in ts]
+    assert tps == sorted(tps)  # deltas only accrue
+    final = ts[-1]
+    assert final["recall"] == 1.0 and final["precision"] == 1.0
