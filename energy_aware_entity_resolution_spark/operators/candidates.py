@@ -199,18 +199,46 @@ def sorted_neighborhood_pairs(features: DataFrame, cfg: PipelineConfig) -> DataF
     )
 
 
+# provenance as bits so the dedup groupBy aggregates a fixed-width
+# long (bit_or, map-side combinable) instead of building string-set
+# objects — at 10^12 rows the candidate dedup is the widest shuffle in
+# the pipeline and its aggregation buffer should be 8 bytes, not a set
+_SOURCE_BITS = {"exact": 1, "lsh": 2, "sn": 4, "lsh_salted": 8}
+
+
 def candidate_pairs(
     features: DataFrame, bands: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
     """Union of exact + LSH (+ sorted-neighborhood) candidates,
-    deduped with source provenance kept for the audit table."""
+    deduped with source provenance kept for the audit table.
+
+    Output schema unchanged: (conv_id_a, conv_id_b, sources
+    array<string> sorted) — the provenance travels through the shuffle
+    as a bitmask and is expanded after the aggregate."""
     parts = [exact_pairs(features), lsh_pairs(bands, cfg)]
     if cfg.blocking.use_sorted_neighborhood:
         parts.append(sorted_neighborhood_pairs(features, cfg))
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
-    return (
-        allp.groupBy("conv_id_a", "conv_id_b")
-        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+    src_bit = F.lit(0)
+    for name, bit in _SOURCE_BITS.items():
+        src_bit = F.when(F.col("source") == name, F.lit(bit)).otherwise(src_bit)
+    masked = allp.select(
+        "conv_id_a", "conv_id_b", src_bit.cast("long").alias("_bit")
     )
+    agged = masked.groupBy("conv_id_a", "conv_id_b").agg(
+        F.bit_or("_bit").alias("_mask")
+    )
+    sources = F.array_sort(
+        F.concat(
+            *[
+                F.when(
+                    F.col("_mask").bitwiseAND(F.lit(bit)) != 0,
+                    F.array(F.lit(name)),
+                ).otherwise(F.array().cast("array<string>"))
+                for name, bit in _SOURCE_BITS.items()
+            ]
+        )
+    )
+    return agged.select("conv_id_a", "conv_id_b", sources.alias("sources"))
