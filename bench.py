@@ -275,6 +275,15 @@ def _write_bench_md(out: dict) -> None:
         key = "er_pipeline_per_conv" if k == "er_pipeline" else k
         r = reg.get(key)
         lines.append(f"| {k} | {v} | {r if r is not None else '—'} |")
+    lines += [
+        "",
+        "Round-stable evidence that this auto-generated file must not",
+        "clobber lives in BASELINE.md §Scaling evidence: the",
+        "supplementary real-core 2→8 axis (ceiling-normalized 0.808),",
+        "the per-stage CPU profile that located and fixed the",
+        "non-scaling candidate stage, and the 960k-conversation",
+        "distributed-CC validation run.",
+    ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
