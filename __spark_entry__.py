@@ -231,6 +231,18 @@ def _q_minhash_dedup_pairs(spark, sf_dir):
     return minhash_dedup_pairs(_read(spark, sf_dir, "documents"), k=16, bands=4, rows=4)
 
 
+def _q_near_dup_verified(spark, sf_dir):
+    """Two-stage near-dup: LSH candidates + exact Jaccard verification
+    (auto-blocked — safe on an unblocked corpus)."""
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        near_dup_pairs_verified,
+    )
+
+    return near_dup_pairs_verified(
+        _read(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """M3 corpus-wide: token-set Jaccard pairs within (lang, source)."""
     return ngram_jaccard_pairs(
@@ -572,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_band_keys": _q_lsh_band_keys,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "near_dup_verified": _q_near_dup_verified,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash": _q_simhash,
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
@@ -1099,6 +1112,32 @@ def oracle_sql() -> dict[str, str]:
             FROM capped a JOIN capped b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
             WHERE a.doc_id < b.doc_id
+        """,
+        "near_dup_verified": f"""
+            WITH sigs AS ({_MINHASH_CTE}),
+            keys AS (
+              SELECT doc_id, (i // 4)::INT AS band_id,
+                     string_agg(minhash::VARCHAR, '-' ORDER BY i) AS band_key
+              FROM sigs GROUP BY doc_id, (i // 4)
+            ), capped AS (
+              SELECT * FROM keys QUALIFY
+                count(*) OVER (PARTITION BY band_id, band_key) <= 200
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM capped a JOIN capped b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            ), t AS (
+              SELECT doc_id, list_sort({_WS_DISTINCT}) AS toks FROM documents
+            )
+            SELECT * FROM (
+              SELECT doc_id_a, doc_id_b,
+                     round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                       / greatest(len(list_distinct(ta.toks || tb.toks)), 1), 6)
+                       AS jaccard
+              FROM cand JOIN t ta ON ta.doc_id = cand.doc_id_a
+                        JOIN t tb ON tb.doc_id = cand.doc_id_b
+            ) WHERE jaccard >= 0.7
         """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (

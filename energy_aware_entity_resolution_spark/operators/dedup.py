@@ -130,6 +130,54 @@ def minhash_dedup_pairs(
     )
 
 
+def near_dup_pairs_verified(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    max_block: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """The standard two-stage near-dup detector: MinHash-LSH candidate
+    generation (banded equi-join, block-capped — never all-pairs)
+    followed by EXACT token-set Jaccard verification of only the
+    candidates. Closes ngram_jaccard_pairs' caveat (it needs caller
+    blocks or goes quadratic): here LSH IS the blocking, so the
+    operator is safe to point at an unblocked corpus.
+
+    Output: (doc_id_a, doc_id_b, jaccard) with jaccard >= threshold.
+    Recall is bounded by the LSH S-curve at (1/bands)^(1/rows)
+    (defaults ≈ 0.71-threshold-ish) — raise bands/lower rows for
+    lower-threshold recall.
+    """
+    cands = minhash_dedup_pairs(docs, k, bands, rows, max_block, text_col)
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        )
+    )
+    sides = docs.select("doc_id", toks.alias("toks"))
+    a = sides.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("toks_a")
+    )
+    b = sides.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_col(text_col: F.Column, bits: int = 32) -> F.Column:
     """SimHash over whitespace tokens: bit j of the result is the sign
     of sum over tokens of (+1 if bit j of md5-60bit(token) else -1).

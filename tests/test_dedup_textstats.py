@@ -215,3 +215,21 @@ def test_block_topk_matches_brute_force_within_block(spark, vectors):
     # within-block neighbors only
     for r in rows:
         assert r["query_id"] % 4 == r["neighbor_id"] % 4
+
+
+def test_near_dup_pairs_verified(spark, docs):
+    """LSH-candidates + exact-Jaccard verification: finds the exact and
+    near duplicate pairs, scores them with true Jaccard, and never
+    emits below-threshold pairs."""
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        near_dup_pairs_verified,
+    )
+
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in near_dup_pairs_verified(docs, threshold=0.7).collect()
+    }
+    assert out[(0, 1)] == 1.0  # exact dup pair
+    assert (0, 2) in out and 0.7 <= out[(0, 2)] < 1.0  # near dup
+    assert all(j >= 0.7 for j in out.values())
+    assert not any(3 in p or 4 in p or 5 in p for p in out)  # unrelated docs
