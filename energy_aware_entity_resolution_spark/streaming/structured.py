@@ -75,6 +75,58 @@ def kafka_reader(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     return parse_kafka_value(raw)
 
 
+ASSEMBLED_STRUCT = "conv_id string, n_turns int, doc string"
+_ASSEMBLY_STATE = "turn_idx array<int>, text array<string>"
+
+
+def stream_assemble_conversations(stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-conversation turn accumulation. Each micro-batch merges the
+    arriving turns into the conversation's keyed state (sorted by
+    turn_idx, replay-deduped) and emits the UPDATED assembly — the
+    streaming analog of assemble_conversations and of the reference's
+    evolving-conversation refit (kafkaconsumer.py:511-560 re-processes
+    a record's accumulated window content each round).
+
+    State is per-key and Spark-managed (checkpointed with the query):
+    arrives-out-of-order is handled by the sort, duplicate turn
+    replays by first-wins dedup on turn_idx. Output mode: update.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        tis: list[int] = []
+        txts: list[str] = []
+        if state.exists:
+            old_tis, old_txts = state.get
+            tis, txts = list(old_tis), list(old_txts)
+        for pdf in pdfs:
+            tis += [int(x) for x in pdf["turn_idx"]]
+            txts += ["" if t is None else str(t) for t in pdf["text"]]
+        seen: dict[int, str] = {}
+        for ti, tx in zip(tis, txts):
+            if ti not in seen:  # first-wins on replayed turn_idx
+                seen[ti] = tx
+        order = sorted(seen)
+        state.update(([int(i) for i in order], [seen[i] for i in order]))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [len(order)],
+                "doc": [" ".join(seen[i] for i in order)],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        ASSEMBLED_STRUCT,
+        _ASSEMBLY_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:
     """W2/W6: event-time tumbling window aggregation with a watermark

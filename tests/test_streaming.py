@@ -98,6 +98,78 @@ def test_parse_kafka_value_roundtrip(spark, transcripts):
     assert parsed.where(F.col("conv_id").isNull()).count() == 1
 
 
+def test_stream_assemble_stateful(spark, transcripts, tmp_path):
+    """applyInPandasWithState assembly: a conversation whose turns are
+    SPLIT ACROSS micro-batches converges to the full batch assembly
+    (state carries earlier turns forward); update-mode emissions grow
+    monotonically per conversation."""
+    from energy_aware_entity_resolution_spark.operators.assemble import (
+        assemble_conversations,
+    )
+    from energy_aware_entity_resolution_spark.streaming.structured import (
+        stream_assemble_conversations,
+    )
+
+    sample = transcripts.where(
+        F.col("conv_id").isin("conv_00000000", "conv_00000003")
+    ).cache()
+    # chunk by TURN index so each conversation spans both micro-batches
+    src = str(tmp_path / "asrc")
+    for c in range(2):
+        (
+            sample.where(F.pmod("turn_idx", F.lit(2)) == c)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"part{c}"))
+        )
+    import glob
+    import shutil
+
+    flat = os.path.join(src, "flat")
+    os.makedirs(flat, exist_ok=True)
+    for c in range(2):
+        for i, f in enumerate(
+            sorted(glob.glob(os.path.join(src, f"part{c}", "part-*.parquet")))
+        ):
+            shutil.copy(f, os.path.join(flat, f"c{c}_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    q = (
+        stream_assemble_conversations(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("assembled_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM assembled_stream"
+    ).collect()
+    # final (most complete) emission per conversation == batch assembly;
+    # keyed by max n_turns so the check is emission-order-independent
+    last = {}
+    for r in rows:
+        if r["conv_id"] not in last or r["n_turns"] > last[r["conv_id"]]["n_turns"]:
+            last[r["conv_id"]] = r
+    expect = {
+        r["conv_id"]: r
+        for r in assemble_conversations(sample).select(
+            "conv_id", "n_turns", "doc"
+        ).collect()
+    }
+    assert set(last) == set(expect)
+    for cid in expect:
+        assert last[cid]["n_turns"] == expect[cid]["n_turns"]
+        assert last[cid]["doc"] == expect[cid]["doc"]
+    # at least one conversation emitted a partial then the full doc
+    assert len(rows) > len(expect)
+
+
 def test_windowed_turn_counts_streaming(spark, transcripts, tmp_path):
     src_dir = str(tmp_path / "wsrc")
     transcripts.write.mode("overwrite").parquet(src_dir)
