@@ -79,7 +79,9 @@ ASSEMBLED_STRUCT = "conv_id string, n_turns int, doc string"
 _ASSEMBLY_STATE = "turn_idx array<int>, text array<string>"
 
 
-def stream_assemble_conversations(stream: DataFrame) -> DataFrame:
+def stream_assemble_conversations(
+    stream: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState):
     per-conversation turn accumulation. Each micro-batch merges the
     arriving turns into the conversation's keyed state (sorted by
@@ -88,14 +90,24 @@ def stream_assemble_conversations(stream: DataFrame) -> DataFrame:
     evolving-conversation refit (kafkaconsumer.py:511-560 re-processes
     a record's accumulated window content each round).
 
-    State is per-key and Spark-managed (checkpointed with the query):
-    arrives-out-of-order is handled by the sort, duplicate turn
+    State is per-key and Spark-managed (checkpointed with the query);
+    out-of-order arrival is handled by the sort, duplicate turn
     replays by first-wins dedup on turn_idx. Output mode: update.
+
+    idle_timeout_ms bounds total state at scale (10^12 turns of
+    long-dead conversations must not live in the state store): a
+    conversation receiving no turns for that long is finalized — its
+    state evicted (W3 idle-finalization; the last update-mode emission
+    already carried its final assembly). None keeps state forever
+    (test/demo scale).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # finalized: last emission was the full doc
+            return
         tis: list[int] = []
         txts: list[str] = []
         if state.exists:
@@ -110,6 +122,8 @@ def stream_assemble_conversations(stream: DataFrame) -> DataFrame:
                 seen[ti] = tx
         order = sorted(seen)
         state.update(([int(i) for i in order], [seen[i] for i in order]))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "conv_id": [key[0]],
@@ -118,12 +132,13 @@ def stream_assemble_conversations(stream: DataFrame) -> DataFrame:
             }
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy("conv_id").applyInPandasWithState(
-        update,
-        ASSEMBLED_STRUCT,
-        _ASSEMBLY_STATE,
-        "update",
-        GroupStateTimeout.NoTimeout,
+        update, ASSEMBLED_STRUCT, _ASSEMBLY_STATE, "update", timeout
     )
 
 

@@ -170,6 +170,76 @@ def test_stream_assemble_stateful(spark, transcripts, tmp_path):
     assert len(rows) > len(expect)
 
 
+def test_stream_assemble_idle_timeout_evicts_state(spark, transcripts, tmp_path):
+    """With idle_timeout_ms, conversations idle across a later trigger
+    are finalized (state evicted, NO re-emission) while new data still
+    processes — bounded state at scale (W3 idle finalization)."""
+    from energy_aware_entity_resolution_spark.streaming.structured import (
+        stream_assemble_conversations,
+    )
+
+    old = transcripts.where(F.col("conv_id") == "conv_00000000")
+    new = transcripts.where(F.col("conv_id") == "conv_00000003")
+    src = str(tmp_path / "tsrc")
+    os.makedirs(src, exist_ok=True)
+    ckpt = str(tmp_path / "tckpt")
+    outdir = str(tmp_path / "tout")
+
+    def run_once():
+        # foreachBatch parquet sink: checkpoint-recoverable (memory
+        # sink queries cannot resume), so the second availableNow run
+        # continues the SAME query and processing-time timeouts fire
+        stream = (
+            spark.readStream.schema(transcripts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_assemble_conversations(stream, idle_timeout_ms=1)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(outdir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    import glob
+    import shutil
+
+    def stage(df, name):
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.copy(f, os.path.join(src, f"{name}_{i}.parquet"))
+
+    # without data-driven batches only, Spark spins no-data
+    # micro-batches to fire pending timeouts — dozens of empty batches
+    # here; the run-2 DATA batch is enough to fire run-1's timeout
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        stage(old, "a")
+        run_once()
+        import time
+
+        time.sleep(1.5)  # exceed the 1 ms idle timeout
+        stage(new, "b")
+        run_once()
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    rows = spark.read.parquet(outdir).collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    # old conversation: exactly its run-1 emission, nothing re-emitted
+    # on timeout; new conversation processed normally in run 2
+    assert len(by_conv["conv_00000000"]) == 1
+    assert len(by_conv["conv_00000003"]) == 1
+    assert by_conv["conv_00000003"][0]["n_turns"] == new.count()
+
+
 def test_windowed_turn_counts_streaming(spark, transcripts, tmp_path):
     src_dir = str(tmp_path / "wsrc")
     transcripts.write.mode("overwrite").parquet(src_dir)
