@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from energy_aware_entity_resolution_spark.config import PipelineConfig
-from energy_aware_entity_resolution_spark.operators.blocking import cap_blocks
 
 
 def canonical_pairs(pairs: DataFrame, a: str = "conv_id_a", b: str = "conv_id_b") -> DataFrame:
@@ -61,15 +60,20 @@ def exact_pairs(features: DataFrame) -> DataFrame:
 def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """J8: within-block pairs of the capped band table.
 
-    ONE shuffle: groupBy the band key collecting member ids, keep
-    blocks within max_block_size (reference hub-cap semantics —
-    boilerplate bands are noise), and explode each block's C(m,2)
-    pairs with a JVM array comprehension. The previous shape — cap via
-    count+semi-join then a sort-merge SELF-join — computed the band
-    table three times and shuffled it thrice; measured 2.8x the CPU of
-    this one at 120k conversations. The cap bounds the per-group array
-    (≤ max_block ids) and the explosion (≤ m(m-1)/2 rows), so the
-    aggregate never holds an unbounded block.
+    Shape: (1) a fixed-width COUNT aggregate per band key (map-side
+    combinable — the shuffle carries one 8-byte counter per distinct
+    band per partition, never member ids), (2) left_semi join keeping
+    only in-cap bands, (3) groupBy collecting the ≤ max_block member
+    ids and exploding each block's C(m,2) pairs with a JVM array
+    comprehension. Counting FIRST matters: collecting member sets
+    before the size filter would materialize a hot/boilerplate band's
+    entire membership in one aggregation buffer — the exact block the
+    cap exists to drop, an executor OOM at scale. With the pre-cap
+    every aggregation buffer is bounded (8 bytes for the count, ≤
+    max_block ids for the collect), and the sort-merge semi-join
+    leaves the data partitioned by the band key so the collect_set
+    groupBy adds no extra Exchange. The in-block explosion (vs the old
+    SELF-join for pair generation) is kept — that was the 2.8x CPU win.
 
     With oversize_policy='salt', blocks above the cap are kept and
     exploded via the deterministic salted self-join so a hot band
@@ -79,11 +83,16 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     would be one more full shuffle of the largest intermediate.
     """
     max_block = cfg.blocking.max_block_size
-    grouped = bands.groupBy("band_id", "band_hash").agg(
-        F.array_sort(F.collect_set("conv_id")).alias("ids")
+    counts = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("_n")
     )
-    small = grouped.where(
-        (F.size("ids") >= 2) & (F.size("ids") <= max_block)
+    small_keys = counts.where(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_block)
+    ).select("band_id", "band_hash")
+    small = (
+        bands.join(small_keys, ["band_id", "band_hash"], "left_semi")
+        .groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set("conv_id")).alias("ids"))
     )
     ids = F.col("ids")
     # (a, b) for all i < j — transform's second lambda arg is the index
@@ -104,7 +113,7 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .withColumn("source", F.lit("lsh"))
     )
     if cfg.blocking.oversize_policy == "salt":
-        big_keys = grouped.where(F.size("ids") > max_block).select(
+        big_keys = counts.where(F.col("_n") > max_block).select(
             "band_id", "band_hash"
         )
         big = bands.join(big_keys, ["band_id", "band_hash"], "left_semi")

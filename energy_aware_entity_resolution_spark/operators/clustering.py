@@ -143,6 +143,17 @@ def connected_components(
         sample = edges.select("src", "dst").limit(small_graph_threshold + 1).collect()
         if len(sample) <= small_graph_threshold:
             if sample:
+                # the fast path's output schema and lexicographic-min
+                # semantics assume string ids; any other id type runs
+                # the distributed loop (whose least/greatest semantics
+                # match the column type) instead of TypeError-ing here
+                if not isinstance(sample[0]["src"], str) or not isinstance(
+                    sample[0]["dst"], str
+                ):
+                    del sample
+                    return _distributed_cc(
+                        edges, max_iterations, checkpoint_dir, resume
+                    )
                 probe = sample[: 1000]
                 avg_bytes = sum(
                     len(r["src"]) + len(r["dst"]) for r in probe

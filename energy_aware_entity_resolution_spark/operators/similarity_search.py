@@ -266,16 +266,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     nprobe: int = 1,
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: each query searches its nprobe
     nearest cells; the index side stays single-cell (a vector is OWNED
     by exactly one cell, so probed pairs are already distinct). The
     reference's FAISS flat index re-expressed as partitioned search;
-    recall rises with nprobe / falls with n_cells."""
+    recall rises with nprobe / falls with n_cells. n_cells=None derives
+    N / target_cell_rows (same contract as ivf_assign — a constant cell
+    count would make the within-cell join quadratic in N)."""
     if centroids is None:
-        centroids = ivf_centroids(
-            vectors, n_cells if n_cells is not None else 8, id_col, vec_col
-        )
+        if n_cells is None:
+            n_cells = max(1, round(vectors.count() / target_cell_rows))
+        centroids = ivf_centroids(vectors, n_cells, id_col, vec_col)
     owned = ivf_assign(vectors, None, id_col, vec_col, centroids=centroids)
     probes = (
         ivf_assign(vectors, None, id_col, vec_col, centroids=centroids, nprobe=nprobe)

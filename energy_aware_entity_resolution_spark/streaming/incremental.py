@@ -20,9 +20,10 @@ proportional to the BATCH, never to the accumulated state:
   edges onto current component roots, runs connected components on the
   REDUCED component graph (bounded by the batch's match count), and
   appends only the roots that changed. Cluster reads resolve the remap
-  chain (path-compressed on the driver — entries exist only for merged
-  nodes, a small fraction of memberships; a production deployment
-  compacts the chain periodically with the same resolve logic).
+  chain: a row/byte-guarded driver fast path (same guards as the CC
+  fast path) for small chains, else distributed pointer-jumping
+  self-joins — the chain NEVER collects to the driver above the guard,
+  so a dup-heavy 100 TB corpus cannot OOM it.
 
 A terminal ``done/_DONE_N`` marker commits each batch; a killed run
 resumes from the last complete batch, every per-batch write targets a
@@ -60,6 +61,7 @@ from energy_aware_entity_resolution_spark.operators.clustering import (
 )
 from energy_aware_entity_resolution_spark.operators.decision import decide_matches
 from energy_aware_entity_resolution_spark.operators.scoring import score_pairs
+from energy_aware_entity_resolution_spark.plans.pipeline import _release_upstream
 
 _FEATURE_COLS = [
     "conv_id", "sig", "sig_hash", "bitmask", "rare_tokens", "rare_sig",
@@ -130,6 +132,16 @@ def _incremental_candidates(
 
 
 # ------------------------------------------------------- component state
+# Driver fast-path guards for remap resolution — same adaptivity
+# principle (and thresholds) as clustering.connected_components: below
+# them, collect + dict path-compression beats a distributed loop; above
+# them the driver MUST NOT hold the chain (batch-0 CC emits one remap
+# row per matched non-root member, so a dup-heavy corpus makes the
+# accumulated remap O(matched records), a driver OOM by design).
+_REMAP_DRIVER_MAX_ROWS = 200_000
+_REMAP_DRIVER_MAX_BYTES = 64 * 1024 * 1024
+
+
 def _collapse_remaps(rows: list) -> dict[str, str]:
     """Path-compress accumulated (old_root, new_root) merge records
     into a flat node -> final-root dict. Chain depth grows at most one
@@ -148,29 +160,77 @@ def _collapse_remaps(rows: list) -> dict[str, str]:
     return {k: find(k) for k in list(parent)}
 
 
+def _resolve_remaps_distributed(remap: DataFrame) -> DataFrame:
+    """Pointer-jumping path compression as DataFrame self-joins.
+
+    The accumulated remap is a forest (an old_root is demoted exactly
+    once — later batches key their merges by CURRENT roots), and chain
+    depth grows at most one per batch. Each iteration substitutes
+    new_root := remap(new_root) where defined, DOUBLING the resolved
+    depth, so ceil(log2(n_batches)) rounds reach the fixpoint — the
+    reference's propagation (kafkaconsumer.py:549-620) without any
+    driver-side state. Lineage is truncated per round; the loop stops
+    on the first round where no row advances."""
+    resolved = remap.localCheckpoint(eager=True)
+    for _ in range(40):  # depth 2^40 is unreachable (one merge/batch)
+        nxt = resolved.selectExpr("old_root as _k", "new_root as _v")
+        step = (
+            resolved.join(nxt, resolved["new_root"] == nxt["_k"], "left")
+            .select(
+                "old_root",
+                F.coalesce("_v", "new_root").alias("new_root"),
+                F.col("_k").isNotNull().alias("_hopped"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        advanced = step.where("_hopped").limit(1).count()
+        resolved = step.drop("_hopped")
+        if advanced == 0:
+            break
+    return resolved
+
+
 def _read_remap_df(
     spark: SparkSession, state_dir: str, upto_batch: int
-) -> DataFrame | None:
-    """Collapsed remap table from batches < upto_batch (None if empty).
-    Small by construction: one row per ever-merged root."""
+) -> tuple[DataFrame | None, bool]:
+    """(collapsed remap table from batches < upto_batch, is_small).
+
+    is_small=True means the table came from the guarded driver fast
+    path and is safely broadcastable; False means it was resolved
+    distributively and joins against it must shuffle, not broadcast.
+    """
     path = os.path.join(state_dir, "remaps")
     if not os.path.isdir(path) or not any(
         n.startswith("batch=") and int(n.split("=")[1]) < upto_batch
         for n in os.listdir(path)
     ):
-        return None
-    rows = (
+        return None, True
+    remap = (
         spark.read.parquet(path)
         .where(F.col("batch") < upto_batch)
         .select("old_root", "new_root")
-        .collect()
     )
-    collapsed = _collapse_remaps(rows)
-    if not collapsed:
-        return None
-    return spark.createDataFrame(
-        list(collapsed.items()), "old_root string, new_root string"
-    )
+    # one action decides the path AND supplies the fast path's input
+    sample = remap.limit(_REMAP_DRIVER_MAX_ROWS + 1).collect()
+    if len(sample) <= _REMAP_DRIVER_MAX_ROWS:
+        if not sample:
+            return None, True
+        probe = sample[:1000]
+        avg_bytes = sum(
+            len(str(r["old_root"])) + len(str(r["new_root"])) for r in probe
+        ) / len(probe)
+        if avg_bytes * len(sample) <= _REMAP_DRIVER_MAX_BYTES:
+            collapsed = _collapse_remaps(sample)
+            if not collapsed:
+                return None, True
+            return (
+                spark.createDataFrame(
+                    list(collapsed.items()), "old_root string, new_root string"
+                ),
+                True,
+            )
+    del sample
+    return _resolve_remaps_distributed(remap), False
 
 
 def _merge_step(
@@ -188,7 +248,7 @@ def _merge_step(
     edges = new_matches.select(
         F.col("conv_id_a").alias("u"), F.col("conv_id_b").alias("v")
     )
-    remap = _read_remap_df(spark, state_dir, b)
+    remap, small = _read_remap_df(spark, state_dir, b)
     if remap is not None:
         ru = remap.select(
             F.col("old_root").alias("u"), F.col("new_root").alias("ru")
@@ -196,9 +256,11 @@ def _merge_step(
         rv = remap.select(
             F.col("old_root").alias("v"), F.col("new_root").alias("rv")
         )
+        if small:  # guarded driver path ⇒ broadcastable by construction
+            ru, rv = F.broadcast(ru), F.broadcast(rv)
         edges = (
-            edges.join(F.broadcast(ru), "u", "left")
-            .join(F.broadcast(rv), "v", "left")
+            edges.join(ru, "u", "left")
+            .join(rv, "v", "left")
             .select(
                 F.coalesce("ru", F.col("u")).alias("u"),
                 F.coalesce("rv", F.col("v")).alias("v"),
@@ -221,20 +283,20 @@ def _merge_step(
 
 def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     """(conv_id, component_id) for every conversation seen so far:
-    feature ids ⟕ broadcast path-compressed remap chain."""
+    feature ids ⟕ path-compressed remap chain (broadcast only when the
+    guarded driver path certified the chain small)."""
     all_ids = spark.read.parquet(os.path.join(state_dir, "features")).select(
         "conv_id"
     )
-    remap = _read_remap_df(spark, state_dir, 10**9)
+    remap, small = _read_remap_df(spark, state_dir, 10**9)
     if remap is None:
         return all_ids.select(
             "conv_id", F.col("conv_id").alias("component_id")
         )
-    return all_ids.join(
-        F.broadcast(remap.withColumnRenamed("old_root", "conv_id")),
-        "conv_id",
-        "left",
-    ).select(
+    keyed = remap.withColumnRenamed("old_root", "conv_id")
+    if small:
+        keyed = F.broadcast(keyed)
+    return all_ids.join(keyed, "conv_id", "left").select(
         "conv_id", F.coalesce("new_root", F.col("conv_id")).alias("component_id")
     )
 
@@ -346,6 +408,10 @@ def run_incremental(
         feats_new.select(*_FEATURE_COLS).write.mode("overwrite").parquet(
             os.path.join(state_dir, "features", f"batch={b}")
         )
+        # featurize persists its tokenized intermediate; the parquet
+        # write above materialized everything — release it or every
+        # batch leaks one cached RDD for the session lifetime
+        _release_upstream(feats_new)
         all_feats = (
             spark.read.parquet(os.path.join(state_dir, "features"))
             .where(F.col("batch") <= b)

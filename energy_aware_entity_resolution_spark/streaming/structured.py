@@ -174,6 +174,9 @@ def stream_incremental_er(
         decide_matches,
     )
     from energy_aware_entity_resolution_spark.operators.scoring import score_pairs
+    from energy_aware_entity_resolution_spark.plans.pipeline import (
+        _release_upstream,
+    )
     from energy_aware_entity_resolution_spark.streaming.incremental import (
         _FEATURE_COLS,
         _done,
@@ -196,6 +199,9 @@ def stream_incremental_er(
         feats_new.select(*_FEATURE_COLS).write.mode("overwrite").parquet(
             os.path.join(state_dir, "features", f"batch={b}")
         )
+        # release featurize's tokenized cache — a long-running stream
+        # would otherwise leak one cached RDD per micro-batch
+        _release_upstream(feats_new)
         all_feats = (
             spark.read.parquet(os.path.join(state_dir, "features"))
             .where(F.col("batch") <= b)

@@ -114,3 +114,18 @@ def test_cluster_pairs_expansion(spark):
         (r["conv_id_a"], r["conv_id_b"]) for r in cluster_pairs(clusters).collect()
     }
     assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_cc_integer_ids_fall_through_to_distributed(spark):
+    """connected_components on a generic edges table with NON-string
+    ids must not TypeError in the fast-path probe — integer ids fall
+    through to the distributed loop, whose least/greatest semantics
+    match the column type (min id = component id)."""
+    df = spark.createDataFrame(
+        [(2, 1), (3, 2), (10, 11), (7, 7)], "src int, dst int"
+    )
+    got = {
+        r["conv_id"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

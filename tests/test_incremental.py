@@ -95,6 +95,63 @@ def test_incremental_writes_proportional_to_batch(spark, transcripts, tmp_path):
     assert remaps.count() <= 2 * n_matches  # component state bounded by merges
 
 
+def test_remap_distributed_resolution_no_driver_collect(spark, tmp_path, monkeypatch):
+    """>10⁵ merge records resolved WITHOUT a driver collect: the
+    distributed pointer-jumping path must produce exactly the driver
+    path-compression result, and must never enter _collapse_remaps
+    (the driver dict) when the row guard trips — the 100 TB OOM gate
+    for C4 (reference propagation kafkaconsumer.py:549-620)."""
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+
+    state = str(tmp_path / "remap_state")
+    # forest with chain depth 3: 120k a→b, 1k b→c, 100 c→d0 (every
+    # node's final root is d_0); one remap dir per batch, like _merge_step
+    a = spark.range(120_000).selectExpr(
+        "concat('a_', id) as old_root", "concat('b_', id % 1000) as new_root"
+    )
+    b = spark.range(1_000).selectExpr(
+        "concat('b_', id) as old_root", "concat('c_', id % 100) as new_root"
+    )
+    c = spark.range(100).selectExpr(
+        "concat('c_', id) as old_root", "'d_0' as new_root"
+    )
+    for i, df in enumerate((a, b, c)):
+        df.write.mode("overwrite").parquet(f"{state}/remaps/batch={i}")
+
+    driver, small = inc._read_remap_df(spark, state, 10)
+    assert small  # 121.1k rows < default guard: driver path
+
+    def _boom(rows):
+        raise AssertionError("driver path-compression entered under guard")
+
+    monkeypatch.setattr(inc, "_REMAP_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(inc, "_collapse_remaps", _boom)
+    dist, small = inc._read_remap_df(spark, state, 10)
+    assert not small
+    assert dist.count() == 121_100
+    assert dist.exceptAll(driver).count() == 0
+    assert driver.exceptAll(dist).count() == 0
+    assert (
+        dist.select("new_root").distinct().collect()[0]["new_root"] == "d_0"
+    )
+
+
+def test_incremental_distributed_remap_end_to_end(
+    spark, transcripts, tmp_path, monkeypatch
+):
+    """Forcing every remap read down the distributed path still
+    converges to the batch partition (merge_step + resolve_clusters on
+    the shuffle-join branch)."""
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+
+    monkeypatch.setattr(inc, "_REMAP_DRIVER_MAX_ROWS", 0)
+    batch = run_pipeline(transcripts, PipelineConfig())
+    got = run_incremental(
+        transcripts, PipelineConfig(), str(tmp_path / "state_dist"), n_batches=3
+    )
+    assert _cluster_sets(got) == _cluster_sets(batch.clusters)
+
+
 def test_round_evaluation_timeseries(spark, transcripts, labeled_pairs, tmp_path):
     """The streaming-evaluation analog (reference
     evaluation_timeseires.py): per-round P/R/F1 over accumulated match
