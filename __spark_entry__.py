@@ -536,9 +536,17 @@ def _er_truth_pairs(spark, sf_dir):
     )
 
 
+# the FULL reference protocol (evaluation.py:235-236): 19 thresholds
+# 0.95..0.05 step 0.05, k = 1..10 — 190 grid cells, every one
+# hash-checked against the DuckDB twin
+GRID_THRESHOLDS = [round(0.95 - 0.05 * i, 2) for i in range(19)]
+GRID_KS = list(range(1, 11))
+
+
 def _q_er_eval_grid(spark, sf_dir):
     """Reference grid search (seuil × k) over the gate pipeline's
-    scored pairs vs exact-duplicate ground truth."""
+    scored pairs vs exact-duplicate ground truth — full 190-cell
+    protocol (reference evaluation.py:235-236)."""
     from energy_aware_entity_resolution_spark.operators.evaluation import (
         evaluation_grid,
     )
@@ -547,8 +555,8 @@ def _q_er_eval_grid(spark, sf_dir):
     grid = evaluation_grid(
         res.scored.select("conv_id_a", "conv_id_b", "score"),
         _er_truth_pairs(spark, sf_dir),
-        thresholds=[0.9, 0.7, 0.5],
-        ks=[1, 5, 10],
+        thresholds=GRID_THRESHOLDS,
+        ks=GRID_KS,
     )
     return grid.select(
         "seuil", "k", "tp", "fp", "fn", F.round("f1", 6).alias("f1")
@@ -977,8 +985,9 @@ prG AS (
 ),
 gridG AS (
   SELECT seuil, k
-  FROM (SELECT unnest([0.9::DOUBLE, 0.7::DOUBLE, 0.5::DOUBLE]) AS seuil),
-       (SELECT unnest([1, 5, 10]) AS k)
+  FROM (SELECT unnest([{", ".join(f"{t!r}::DOUBLE" for t in GRID_THRESHOLDS)}])
+          AS seuil),
+       (SELECT unnest([{", ".join(str(k) for k in GRID_KS)}]) AS k)
 ),
 aggG AS (
   SELECT seuil, k,

@@ -6,17 +6,36 @@ line: {"metric", "value", "unit", "queries", "sf", ...}.
 
 Also evidences the north_rule two-cluster-size scaling criterion in
 this single-node sandbox: the transcript ER pipeline runs at
-local[SCALE_LOW] and local[SCALE_HIGH] (the N -> 4N axis, default
-2 -> 8 — see the SCALE_LOW comment) on identical input; throughput at
-both, the raw efficiency, and the efficiency normalized to the
-machine's measured pure-compute ceiling are reported to stdout and
-BENCH.md.
+local[SCALE_LOW] and local[SCALE_HIGH] (the N -> 4N axis) on identical
+input. The measurement protocol is built for this VM's erratic CPU
+delivery (identical runs observed 50-138 s apart over an hour):
+
+1. INTERLEAVED levels — A/B/A/B/A/B, one rep of each level per pass,
+   so a noisy host window hits both levels, not just one. Efficiency
+   is computed PER REP from the adjacent low/high pair, then the
+   median of per-rep efficiencies is reported (a single slow window
+   cancels out of the ratio).
+2. >= 3 repeats per level; the FULL raw run list ships in the JSON —
+   medians summarize, raw runs let anyone re-derive.
+3. A noise-independent compute metric per run: JVM process-CPU-seconds
+   consumed by the measured pipeline (all executors share the local
+   JVM, so this is the sum of task CPU + driver). cpu_ratio =
+   cpu_high/cpu_low per rep; ~1.0 means the engine adds no
+   parallelization overhead going to 4x threads — scaling is then
+   bounded only by the machine's delivery, which the adjacent
+   pure-compute probe measures (this VM's 32 hyperthreads deliver only
+   ~2-2.6x the compute of 8 real cores: SMT + host contention).
+
+Reported: throughput at both levels, raw efficiency, efficiency
+normalized to the measured hardware ceiling, and the CPU-based
+work-conservation ratio — stdout JSON and BENCH.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -25,21 +44,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Scaling axis: N -> 4N cores on the axis BASELINE.md promises,
-# local[8] -> local[32]. A pure-compute probe (machine_compute_probe)
-# runs adjacent to every measurement: this VM's 32 hyperthreads
-# deliver only ~2x the compute of 8 real cores (SMT + host
-# contention), so raw efficiency is hardware-bounded at ~0.5; the
-# bench reports the raw number, the measured ceiling, and the
-# ceiling-normalized efficiency side by side.
+# local[8] -> local[32] (crosses this VM's SMT boundary — see module
+# docstring; the ceiling probe quantifies that).
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(SCALE_LOW * 4)))
-# ER bench scale: ~# conversations (≈7.5 turns each). 240k convs ≈
-# 1.8M turns — 4x round 1, shrinking the serial floor (driver
-# barriers, plan time) so scaling reflects the engine, not fixed costs.
+# ER bench scale: ~# conversations (~7.5 turns each). 240k convs ~
+# 1.8M turns — large enough that the serial floor (driver barriers,
+# plan time) doesn't dominate the scaling measurement.
 N_CONVS = int(os.environ.get("SPARK_GRAFT_ER_CONVS", "240000"))
-N_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+N_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+N_QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
 PREV_BENCH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"
 )
 
 BENCH_QUERIES = [
@@ -65,24 +81,47 @@ def _new_spark(n_cores: int):
     )
 
 
-def machine_compute_probe(spark, n_cores: int, n: int = 10**10) -> float:
-    """Pure-JVM embarrassingly-parallel compute throughput (hashes/sec)
-    at this parallelism — the MACHINE's scaling ceiling. On this
-    sandbox VM 32 vCPUs deliver only ~2.1x the compute of 8 (SMT +
-    host contention), so raw wall-clock efficiency is bounded by the
-    hardware, not the engine; the bench reports efficiency normalized
-    to this ceiling alongside the raw number."""
+def _jvm_cpu_s(spark) -> float:
+    """Process CPU seconds of the (shared driver+executor) local JVM —
+    the sum of all task CPU plus driver work. Unlike wall time this
+    counts only cycles actually delivered, so it is immune to the
+    host's noisy-neighbor stalls."""
+    # JVM pid via the (public, reflectable) RuntimeMXBean; CPU from
+    # /proc/<pid>/stat utime+stime (all JVM threads). Java 17
+    # encapsulates the OS-bean impl so getProcessCpuTime isn't
+    # reachable over py4j reflection.
+    pid = (
+        spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean().getPid()
+    )
+    raw = open(f"/proc/{pid}/stat").read()
+    fields = raw.rsplit(")", 1)[1].split()
+    utime, stime = int(fields[11]), int(fields[12])
+    return (utime + stime) / os.sysconf("SC_CLK_TCK")
+
+
+PROBE_N = int(os.environ.get("SPARK_GRAFT_PROBE_N", str(4 * 10**9)))
+
+
+def machine_compute_probe(spark, n_cores: int, n: int | None = None) -> tuple:
+    """Pure-JVM embarrassingly-parallel compute at this parallelism —
+    the MACHINE's scaling ceiling, measured adjacent to each pipeline
+    run so per-rep normalization shares the host conditions of the run
+    it normalizes. Returns (hashes/sec, cpu_seconds): the CPU side
+    calibrates how much /proc CPU time the SAME work inflates at the
+    higher thread count (SMT pairs sharing a core both accrue CPU
+    time), so the pipeline's CPU ratio can be decomposed into hardware
+    inflation x engine overhead."""
+    if n is None:
+        n = PROBE_N
     spark.range(10**8, numPartitions=n_cores).selectExpr(
         "bit_xor(xxhash64(id))"
+    ).collect()  # JIT warmup
+    cpu0 = _jvm_cpu_s(spark)
+    t0 = time.monotonic()
+    spark.range(n, numPartitions=n_cores).selectExpr(
+        "bit_xor(xxhash64(id))"
     ).collect()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.monotonic()
-        spark.range(n, numPartitions=n_cores).selectExpr(
-            "bit_xor(xxhash64(id))"
-        ).collect()
-        best = min(best, time.monotonic() - t0)
-    return n / best
+    return n / (time.monotonic() - t0), _jvm_cpu_s(spark) - cpu0
 
 
 def run_er_pipeline(spark, n_convs: int) -> dict:
@@ -99,18 +138,22 @@ def run_er_pipeline(spark, n_convs: int) -> dict:
     n_turns = transcripts.count()
     gen_s = time.monotonic() - t_gen0
 
+    cpu0 = _jvm_cpu_s(spark)
     t0 = time.monotonic()
     res = run_pipeline(transcripts, PipelineConfig())
     n_scored = res.scored.count()
     n_matches = res.matches.count()
     n_clusters = res.clusters.select("component_id").distinct().count()
     wall = time.monotonic() - t0
+    cpu_s = _jvm_cpu_s(spark) - cpu0
+    res.release()
     transcripts.unpersist()
     return {
         "n_convs": n_convs,
         "n_turns": n_turns,
         "gen_s": round(gen_s, 2),
         "wall_s": round(wall, 2),
+        "cpu_s": round(cpu_s, 2),
         "scored_pairs": n_scored,
         "matches": n_matches,
         "clusters": n_clusters,
@@ -119,74 +162,160 @@ def run_er_pipeline(spark, n_convs: int) -> dict:
     }
 
 
+def _measure_scaling() -> dict:
+    """Interleaved A/B/A/B scaling measurement (module docstring)."""
+    runs: list[dict] = []
+    warmed: set[int] = set()
+    for rep in range(N_REPEATS):
+        for level in (SCALE_LOW, SCALE_HIGH):
+            s = _new_spark(level)
+            # first visit per level: big warmup (JIT + codegen); later
+            # sessions share the JVM's JIT state — small warmup only
+            warm_n = max(N_CONVS // (6 if level not in warmed else 24), 1000)
+            run_er_pipeline(s, warm_n)
+            warmed.add(level)
+            probe, probe_cpu = machine_compute_probe(s, level)
+            r = run_er_pipeline(s, N_CONVS)
+            r["rep"] = rep
+            r["cores"] = level
+            r["machine_hash_per_sec"] = round(probe, 1)
+            r["probe_cpu_s"] = round(probe_cpu, 2)
+            runs.append(r)
+            print(
+                f"[bench] rep={rep} cores={level} wall={r['wall_s']}s "
+                f"cpu={r['cpu_s']}s probe={probe:.3g}/s probe_cpu={probe_cpu:.1f}s",
+                file=sys.stderr,
+            )
+            s.stop()
+
+    factor = SCALE_HIGH / SCALE_LOW
+    per_rep = []
+    for rep in range(N_REPEATS):
+        lo = next(r for r in runs if r["rep"] == rep and r["cores"] == SCALE_LOW)
+        hi = next(r for r in runs if r["rep"] == rep and r["cores"] == SCALE_HIGH)
+        speedup = lo["wall_s"] / hi["wall_s"]
+        ceiling = hi["machine_hash_per_sec"] / lo["machine_hash_per_sec"]
+        cpu_ratio = hi["cpu_s"] / lo["cpu_s"]
+        # the probe runs IDENTICAL work at both levels, so its CPU
+        # ratio is pure hardware inflation (SMT core-sharing); what's
+        # left after dividing it out is engine-added overhead
+        probe_cpu_ratio = hi["probe_cpu_s"] / lo["probe_cpu_s"]
+        per_rep.append(
+            {
+                "rep": rep,
+                "wall_low_s": lo["wall_s"],
+                "wall_high_s": hi["wall_s"],
+                "speedup": round(speedup, 3),
+                "efficiency": round(speedup / factor, 3),
+                "ceiling_speedup": round(ceiling, 3),
+                "normalized_efficiency": round(speedup / ceiling, 3),
+                "cpu_low_s": lo["cpu_s"],
+                "cpu_high_s": hi["cpu_s"],
+                "cpu_ratio": round(cpu_ratio, 3),
+                "probe_cpu_ratio": round(probe_cpu_ratio, 3),
+                "engine_cpu_overhead": round(cpu_ratio / probe_cpu_ratio, 3),
+            }
+        )
+
+    def med(key: str) -> float:
+        return round(statistics.median(p[key] for p in per_rep), 3)
+
+    def level_summary(level: int) -> dict:
+        walls = [r["wall_s"] for r in runs if r["cores"] == level]
+        any_run = next(r for r in runs if r["cores"] == level)
+        wall = statistics.median(walls)
+        return {
+            "n_convs": any_run["n_convs"],
+            "n_turns": any_run["n_turns"],
+            "wall_s": round(wall, 2),
+            "wall_s_all": walls,
+            "cpu_s": round(
+                statistics.median(
+                    r["cpu_s"] for r in runs if r["cores"] == level
+                ),
+                2,
+            ),
+            "scored_pairs": any_run["scored_pairs"],
+            "scored_pairs_per_sec": round(any_run["scored_pairs"] / wall, 1),
+            "turns_per_sec": round(any_run["n_turns"] / wall, 1),
+            "machine_hash_per_sec": round(
+                statistics.median(
+                    r["machine_hash_per_sec"] for r in runs if r["cores"] == level
+                ),
+                1,
+            ),
+            "core_utilization": round(
+                statistics.median(
+                    r["cpu_s"] / (r["wall_s"] * level)
+                    for r in runs
+                    if r["cores"] == level
+                ),
+                3,
+            ),
+        }
+
+    return {
+        "protocol": (
+            f"interleaved A/B x{N_REPEATS} reps, per-rep adjacent-pair "
+            "ratios, medians reported; cpu_s = JVM process CPU (noise-"
+            "immune); probe = pure-compute hardware ceiling adjacent to "
+            "each run"
+        ),
+        "n_low_cores": SCALE_LOW,
+        "n_high_cores": SCALE_HIGH,
+        "low": level_summary(SCALE_LOW),
+        "high": level_summary(SCALE_HIGH),
+        "per_rep": per_rep,
+        "raw_runs": runs,
+        "speedup": med("speedup"),
+        "efficiency": med("efficiency"),
+        "machine_ceiling_speedup": med("ceiling_speedup"),
+        "machine_ceiling_efficiency": round(
+            med("ceiling_speedup") / factor, 3
+        ),
+        "normalized_efficiency": med("normalized_efficiency"),
+        "cpu_ratio": med("cpu_ratio"),
+        "probe_cpu_ratio": med("probe_cpu_ratio"),
+        "engine_cpu_overhead": med("engine_cpu_overhead"),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
-    results: dict = {"sf": SF_DIR, "cpus": CPUS}
+    scaling = _measure_scaling()
 
-    # --- phase 1: scaling evidence (low parallelism first, then high).
-    # Each level gets a JIT/codegen warmup run at 1/5 scale plus two
-    # measured runs (best-of-2): the first pipeline in a fresh JVM pays
-    # ~40s of JIT that would otherwise masquerade as poor scaling, and
-    # the sandbox VM has noisy neighbors.
-    def measured(n_cores: int) -> tuple:
-        s = _new_spark(n_cores)
-        ceiling = machine_compute_probe(s, n_cores)
-        run_er_pipeline(s, max(N_CONVS // 6, 1000))  # warmup (JIT)
-        # best-of-N: the sandbox VM's CPU delivery is erratic (the same
-        # stage was observed at 7s and 52s under identical code); min
-        # is the least-noisy estimator of the machine's capability
-        best = min(
-            (run_er_pipeline(s, N_CONVS) for _ in range(N_REPEATS)),
-            key=lambda r: r["wall_s"],
-        )
-        best["machine_hash_per_sec"] = round(ceiling, 1)
-        return s, best
-
-    spark, low = measured(SCALE_LOW)
-    spark.stop()
-    spark, high = measured(SCALE_HIGH)
-
-    factor = SCALE_HIGH / SCALE_LOW
-    speedup = high["turns_per_sec"] / low["turns_per_sec"]
-    efficiency = speedup / factor
-    # hardware ceiling: how much MORE pure compute the high level
-    # actually delivers on this VM (≈2.1x for 8→32, not 4x)
-    ceiling_speedup = high["machine_hash_per_sec"] / low["machine_hash_per_sec"]
-    results["scaling"] = {
-        "n_low_cores": SCALE_LOW,
-        "n_high_cores": SCALE_HIGH,
-        "low": low,
-        "high": high,
-        "speedup": round(speedup, 3),
-        "efficiency": round(efficiency, 3),
-        "machine_ceiling_speedup": round(ceiling_speedup, 3),
-        "machine_ceiling_efficiency": round(ceiling_speedup / factor, 3),
-        "normalized_efficiency": round(speedup / ceiling_speedup, 3),
-    }
-
-    # --- phase 2: per-query timings at full parallelism
-    spark.stop()
+    # --- per-query timings at full parallelism: median of N repeats
+    # (single measurements on this VM routinely differ 2-5x — see
+    # BENCH_r02's apparent regressions on untouched queries)
     spark = _new_spark(CPUS)
     qs = entrymod.queries()
     qtimes: dict[str, float] = {}
+    qraw: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-    qtimes["er_pipeline"] = high["wall_s"]
+        samples = []
+        for _ in range(N_QUERY_REPEATS):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.monotonic() - t0, 3))
+        qraw[name] = samples
+        qtimes[name] = round(statistics.median(samples), 3)
+    qtimes["er_pipeline"] = scaling["high"]["wall_s"]
 
     out = {
         "metric": "er_pipeline_wall",
-        "value": high["wall_s"],
+        "value": scaling["high"]["wall_s"],
         "unit": "sec",
         "queries": qtimes,
+        "query_raw_samples": qraw,
         "sf": SF_DIR,
-        "scored_pairs_per_sec": high["scored_pairs_per_sec"],
-        "scaling_efficiency": results["scaling"]["efficiency"],
-        "normalized_scaling_efficiency": results["scaling"]["normalized_efficiency"],
-        "scaling": results["scaling"],
+        "scored_pairs_per_sec": scaling["high"]["scored_pairs_per_sec"],
+        "scaling_efficiency": scaling["efficiency"],
+        "normalized_scaling_efficiency": scaling["normalized_efficiency"],
+        "cpu_ratio_high_over_low": scaling["cpu_ratio"],
+        "scaling": scaling,
     }
     out["regression_vs_prev"] = _regression(out)
     _write_bench_md(out)
@@ -226,27 +355,52 @@ def _write_bench_md(out: dict) -> None:
         f"Input: deterministic synthetic transcripts, {s['high']['n_convs']} conversations "
         f"({s['high']['n_turns']} turns), identical at both parallelism levels.",
         "",
-        "| cores | pipeline wall (s) | scored pairs | pairs/sec | turns/sec |",
-        "|---|---|---|---|---|",
-        f"| local[{s['n_low_cores']}] | {s['low']['wall_s']} | {s['low']['scored_pairs']} "
-        f"| {s['low']['scored_pairs_per_sec']} | {s['low']['turns_per_sec']} |",
-        f"| local[{s['n_high_cores']}] | {s['high']['wall_s']} | {s['high']['scored_pairs']} "
-        f"| {s['high']['scored_pairs_per_sec']} | {s['high']['turns_per_sec']} |",
+        f"Protocol: {s['protocol']}.",
         "",
-        f"**Pipeline speedup {s['n_low_cores']}→{s['n_high_cores']} cores: "
-        f"{s['speedup']}×; raw scaling efficiency: {s['efficiency']}; "
+        "| cores | pipeline wall median (s) | all walls (s) | JVM CPU median (s) | pairs/sec | core util |",
+        "|---|---|---|---|---|---|",
+        f"| local[{s['n_low_cores']}] | {s['low']['wall_s']} | {s['low']['wall_s_all']} "
+        f"| {s['low']['cpu_s']} | {s['low']['scored_pairs_per_sec']} | {s['low']['core_utilization']} |",
+        f"| local[{s['n_high_cores']}] | {s['high']['wall_s']} | {s['high']['wall_s_all']} "
+        f"| {s['high']['cpu_s']} | {s['high']['scored_pairs_per_sec']} | {s['high']['core_utilization']} |",
+        "",
+        "Per-rep adjacent pairs (each rep's low/high ran back-to-back, so",
+        "host noise cancels out of the ratio):",
+        "",
+        "| rep | wall low | wall high | speedup | ceiling | normalized eff | cpu ratio | probe cpu ratio | engine overhead |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for p in s["per_rep"]:
+        lines.append(
+            f"| {p['rep']} | {p['wall_low_s']} | {p['wall_high_s']} "
+            f"| {p['speedup']} | {p['ceiling_speedup']} "
+            f"| {p['normalized_efficiency']} | {p['cpu_ratio']} "
+            f"| {p['probe_cpu_ratio']} | {p['engine_cpu_overhead']} |"
+        )
+    lines += [
+        "",
+        f"**Medians — pipeline speedup {s['n_low_cores']}→{s['n_high_cores']} "
+        f"cores: {s['speedup']}×; raw scaling efficiency: {s['efficiency']}; "
         f"normalized to the machine's measured compute ceiling: "
-        f"{s['normalized_efficiency']}.**",
+        f"{s['normalized_efficiency']}. CPU decomposition: pipeline CPU "
+        f"ratio {s['cpu_ratio']} = hardware inflation {s['probe_cpu_ratio']} "
+        f"(the probe's identical work costs this much more /proc CPU across "
+        f"the SMT boundary) × engine-added overhead "
+        f"{s['engine_cpu_overhead']} (1.0 = work-conserving).**",
         "",
         f"Hardware ceiling: a pure-JVM embarrassingly-parallel probe "
-        f"(`bit_xor(xxhash64(id))` over `spark.range`) speeds up only "
-        f"{s['machine_ceiling_speedup']}× from {s['n_low_cores']} to "
+        f"(`bit_xor(xxhash64(id))` over `spark.range`), run adjacent to every "
+        f"measured pipeline run, speeds up only "
+        f"{s['machine_ceiling_speedup']}× (median) from {s['n_low_cores']} to "
         f"{s['n_high_cores']} threads on this VM (SMT + host contention) — "
         f"i.e. the maximum raw efficiency ANY code can show here is "
         f"{s['machine_ceiling_efficiency']}. The north_rule ≥ 0.8 criterion is "
         f"therefore evidenced as normalized efficiency (pipeline speedup / "
         f"hardware ceiling speedup); no multi-node cluster exists in this "
-        f"sandbox.",
+        f"sandbox. The CPU ratio is the wall-clock-independent cross-check: "
+        f"total compute consumed at both levels (JVM process CPU, counting "
+        f"only delivered cycles) should match if the engine is "
+        f"work-conserving.",
         "",
         "## vs the reference baseline (BASELINE.md)",
         "",
@@ -261,28 +415,26 @@ def _write_bench_md(out: dict) -> None:
         "planted labeled pairs (the reference reports 0.58 on "
         "dblp-scholar, ≈0.9 on fodors-zagats).",
         "",
-        "Per-query wall seconds at full parallelism (noop sink); the",
-        "`vs r01` column is this_round / last_round (ratios < 1 are",
-        "faster; the VM's CPU delivery is erratic run-to-run — see",
-        "BENCH_r01 for the observed 4-7x wall variance — so treat",
-        "sub-2x ratios as noise):",
+        f"Per-query wall seconds at full parallelism (noop sink), MEDIAN",
+        f"of {N_QUERY_REPEATS} repeats with the raw samples beside it; the",
+        "`vs r02` column is this_round / last_round (last round was a",
+        "single sample — treat sub-2x ratios as host noise):",
         "",
-        "| query | sec | vs r01 |",
-        "|---|---|---|",
+        "| query | median s | raw samples | vs r02 |",
+        "|---|---|---|---|",
     ]
     reg = out.get("regression_vs_prev") or {}
     for k, v in out["queries"].items():
         key = "er_pipeline_per_conv" if k == "er_pipeline" else k
         r = reg.get(key)
-        lines.append(f"| {k} | {v} | {r if r is not None else '—'} |")
+        raw = out["query_raw_samples"].get(k, "—")
+        lines.append(f"| {k} | {v} | {raw} | {r if r is not None else '—'} |")
     lines += [
         "",
-        "Round-stable evidence that this auto-generated file must not",
-        "clobber lives in BASELINE.md §Scaling evidence: the",
-        "supplementary real-core 2→8 axis (ceiling-normalized 0.808),",
-        "the per-stage CPU profile that located and fixed the",
-        "non-scaling candidate stage, and the 960k-conversation",
-        "distributed-CC validation run.",
+        "Round-stable evidence lives in BASELINE.md §Scaling evidence:",
+        "the supplementary real-core 2→8 axis, the per-stage CPU profile",
+        "that located and fixed the non-scaling candidate stage, and the",
+        "960k-conversation distributed-CC validation run.",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

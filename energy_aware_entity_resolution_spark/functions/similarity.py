@@ -112,16 +112,27 @@ def _jaro_winkler(s1: str, s2: str) -> float:
 
 def make_jaro_winkler_udf(cap: int = 128):
     """Arrow-batched Jaro-Winkler over capped strings (north_star's
-    "batched Jaro-Winkler ... in pandas UDFs")."""
+    "batched Jaro-Winkler ... in pandas UDFs").
+
+    Uses rapidfuzz's C kernel when importable on the EXECUTOR (same
+    published formula, ~100x the pure-Python inner loop); falls back to
+    the textbook implementation above — this sandbox has no rapidfuzz,
+    a production image should."""
 
     @F.pandas_udf(T.DoubleType())
     def jw(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        try:  # resolved executor-side, once per worker
+            from rapidfuzz.distance import JaroWinkler as _RF
+
+            scorer = _RF.similarity
+        except ImportError:
+            scorer = _jaro_winkler
         for a, b in it:
             av = a.fillna("").str.slice(0, cap)
             bv = b.fillna("").str.slice(0, cap)
             yield pd.Series(
                 np.fromiter(
-                    (_jaro_winkler(x, y) for x, y in zip(av, bv)),
+                    (scorer(x, y) for x, y in zip(av, bv)),
                     dtype=np.float64,
                     count=len(av),
                 )

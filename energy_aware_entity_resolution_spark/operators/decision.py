@@ -20,14 +20,16 @@ from energy_aware_entity_resolution_spark.config import PipelineConfig
 
 def _directed(scored: DataFrame) -> DataFrame:
     """Pair rows -> both directions (src, dst, score) for per-record
-    neighbor-list semantics."""
-    base = scored.select(
-        F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst"), "score"
+    neighbor-list semantics. Explode, not union-of-two-selects: one
+    scan of the scored pairs instead of two (scoring is the widest
+    intermediate in the pipeline — rescanning it doubles either the
+    cache read or, un-persisted, the whole scoring computation)."""
+    both = F.array(
+        F.struct(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")),
+        F.struct(F.col("conv_id_b").alias("src"), F.col("conv_id_a").alias("dst")),
     )
-    return base.union(
-        scored.select(
-            F.col("conv_id_b").alias("src"), F.col("conv_id_a").alias("dst"), "score"
-        )
+    return scored.select(F.explode(both).alias("_e"), "score").select(
+        "_e.src", "_e.dst", "score"
     )
 
 
@@ -82,11 +84,18 @@ def hub_cap(pairs: DataFrame, max_degree: int) -> DataFrame:
 def decide_matches(scored: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """D5 composition: threshold pass-through (D2) ∪ ratio-tested best
     edges (D1, optionally mutual D3), all above match_threshold; output
-    canonical match pairs with decision provenance."""
+    canonical match pairs with decision provenance.
+
+    Single-scan shape: BOTH branches read the same windowed directed
+    frame — the direct branch filters it on score (each pair appears
+    once with src < dst), the ratio branch on rank. The branches'
+    window subtrees are physically identical, so Catalyst's exchange
+    reuse computes the scored input and its shuffle ONCE for the whole
+    decision; deriving `direct` straight from `scored` instead would
+    rescan (or recompute) the widest intermediate in the pipeline a
+    second time.
+    """
     sc = cfg.scoring
-    direct = scored.where(F.col("score") >= sc.direct_threshold).select(
-        "conv_id_a", "conv_id_b", "score", F.lit("direct").alias("decision")
-    )
     # rank + runner-up in ONE window pass (row_number and lead share
     # the window spec, so Catalyst emits a single Window operator —
     # ranking first and re-windowing the filtered result would shuffle
@@ -96,6 +105,16 @@ def decide_matches(scored: DataFrame, cfg: PipelineConfig) -> DataFrame:
         _directed(scored)
         .withColumn("rank", F.row_number().over(w))
         .withColumn("s2", F.lead("score").over(w))
+    )
+    direct = (
+        annotated.where(F.col("score") >= sc.direct_threshold)
+        .where(F.col("src") < F.col("dst"))  # each pair once
+        .select(
+            F.col("src").alias("conv_id_a"),
+            F.col("dst").alias("conv_id_b"),
+            "score",
+            F.lit("direct").alias("decision"),
+        )
     )
     passes = F.col("s2").isNull() | (
         F.col("score") / F.greatest(F.col("s2"), F.lit(1e-9))

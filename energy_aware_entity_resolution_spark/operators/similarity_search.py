@@ -102,11 +102,24 @@ def sign_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket_rows: int = 4096,
+    rotation_seed: int | None = None,
 ) -> DataFrame:
-    """Axis-aligned random-hyperplane LSH: bucket = sign bits of the
-    first n_bits coordinates. Deterministic and SQL-portable (the
-    general rotated-hyperplane variant just pre-multiplies a fixed
-    rotation; axis planes keep the oracle trivial).
+    """Random-hyperplane LSH bucket assignment.
+
+    Default (rotation_seed=None): AXIS-ALIGNED planes — bucket = sign
+    bits of the first n_bits coordinates. Deterministic and
+    SQL-portable (keeps the DuckDB oracle trivial); fine for
+    feature-hashed vectors whose coordinates are ~independent, but
+    correlated dimensions of real embedding models skew bucket
+    occupancy (most mass lands in few buckets).
+
+    rotation_seed=K opts into GENERAL seeded hyperplanes: plane j is a
+    fixed standard-normal direction (numpy RandomState(K)), and bit j =
+    sign(<r_j, v>). The dot products are JVM column folds over literal
+    plane arrays — no UDF, no shuffle; costs one head() action to read
+    the vector dimension. Charikar's SimHash family — bucket collision
+    probability depends only on the angle, immune to coordinate
+    correlation.
 
     n_bits=None derives it from the table size so expected bucket
     occupancy ≈ target_bucket_rows — a CONSTANT n_bits makes the
@@ -116,10 +129,23 @@ def sign_lsh_buckets(
     if n_bits is None:
         n_bits = _auto_bits(vectors.count(), target_bucket_rows)
     bucket = F.lit(0)
-    for j in range(n_bits):
-        bucket = bucket + F.when(
-            F.element_at(F.col(vec_col), j + 1) > 0, F.lit(1 << j)
-        ).otherwise(F.lit(0))
+    if rotation_seed is None:
+        for j in range(n_bits):
+            bucket = bucket + F.when(
+                F.element_at(F.col(vec_col), j + 1) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+    else:
+        head = vectors.select(vec_col).head()
+        dim = len(head[0]) if head is not None else 0
+        planes = np.random.RandomState(rotation_seed).standard_normal(
+            (n_bits, max(dim, 1))
+        )
+        vd = F.col(vec_col).cast("array<double>")
+        for j in range(n_bits):
+            plane = F.array(*[F.lit(float(x)) for x in planes[j, :dim]])
+            bucket = bucket + F.when(
+                dot_col(vd, plane) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
     return vectors.select(
         F.col(id_col), F.col(vec_col), bucket.alias("bucket")
     )
@@ -133,6 +159,7 @@ def bucketed_topk(
     vec_col: str = "embedding",
     probe_hamming: int = 0,
     target_bucket_rows: int = 4096,
+    rotation_seed: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: equi-join within LSH buckets.
 
@@ -141,11 +168,14 @@ def bucketed_topk(
     one hyperplane — where near-boundary neighbors land), recovering
     most of the recall a single-bucket probe loses. Join stays an
     equi-join; the query side fans out ×(n_bits+1), the index side is
-    untouched.
+    untouched. rotation_seed opts into general seeded hyperplanes for
+    correlated-dimension embeddings (see sign_lsh_buckets).
     """
     if n_bits is None:
         n_bits = _auto_bits(vectors.count(), target_bucket_rows)
-    b = sign_lsh_buckets(vectors, n_bits, id_col, vec_col)
+    b = sign_lsh_buckets(
+        vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
+    )
     masks = [0] + ([1 << j for j in range(n_bits)] if probe_hamming >= 1 else [])
     a_side = (
         b.select(

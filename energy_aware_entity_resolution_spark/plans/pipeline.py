@@ -114,7 +114,15 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
 
     t0 = metrics.start()
     scored = score_pairs(cands, features, cfg)
-    scored = _maybe_checkpoint(scored, cfg, "scored_pairs")
+    if cfg.checkpoint_dir:
+        scored = _maybe_checkpoint(scored, cfg, "scored_pairs")
+    else:
+        # LAZY persist: decide_matches scans scored exactly once (its
+        # two branches share one window subtree — exchange reuse), so
+        # the decision stage's eager count below materializes scoring
+        # and decision in ONE action, removing a stage barrier; the
+        # populated cache then serves later consumers of res.scored.
+        scored = scored.persist()
     metrics.record("scoring", t0)
 
     t0 = metrics.start()

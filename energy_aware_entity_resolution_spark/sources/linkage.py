@@ -52,6 +52,43 @@ def load_linkage_tables(
     )
 
 
+def load_linkage_tables_noid(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    text_cols: list[str] | None = None,
+) -> DataFrame:
+    """(conv_id, source, text) over ID-LESS record CSVs (the
+    reference's pi_test variant — Data_example/pi_test-tableA.csv has
+    no id column): rid = file row order over the A++B concatenation,
+    exactly main.py:56-59's ``idx__{row index}`` assignment.
+
+    Row order is a FILE-ORDER contract, inherently sequential, so the
+    tables are read driver-side (csv stdlib) and parallelized — correct
+    only for golden-fixture scale; production tables carry ids and use
+    load_linkage_tables."""
+    import csv
+
+    def rows(path: str) -> tuple[list[dict], list[str]]:
+        with open(path, newline="", encoding="utf-8") as f:
+            r = csv.DictReader(f)
+            return list(r), list(r.fieldnames or [])
+
+    rows_a, cols_a = rows(path_a)
+    rows_b, _ = rows(path_b)
+    cols = text_cols or cols_a
+    data = [
+        (f"idx__{i}", "A", " ".join(row.get(c) or "" for c in cols))
+        for i, row in enumerate(rows_a)
+    ] + [
+        (f"idx__{len(rows_a) + j}", "B", " ".join(row.get(c) or "" for c in cols))
+        for j, row in enumerate(rows_b)
+    ]
+    return spark.createDataFrame(
+        data, "conv_id string, source string, text string"
+    )
+
+
 def linkage_transcripts(entities: DataFrame) -> DataFrame:
     """Bridge an entity table into the engine's transcript shape:
     one single-turn conversation per record."""

@@ -31,18 +31,31 @@ deterministic partition path with overwrite, so replays are idempotent
 and converge to the same final clusters as a single-shot batch run
 (tested in tests/test_incremental.py).
 
-Equivalence caveat (documented, asserted by a runtime warning): the
-per-batch decision stage sees only that batch's scored pairs, so
-incremental ≡ batch holds for threshold-style configs (the defaults:
-ratio_threshold=1.0, mutual_only=False). An enabled ratio test or
-strict reciprocal-NN reads a record's FULL neighborhood and would need
-the decision re-run over accumulated scored state each round.
+Decision semantics by config (W4):
+
+- threshold-style configs (the defaults: ratio_threshold=1.0,
+  mutual_only=False) — decisions are per-pair, so the per-batch
+  decision over that batch's scored delta IS the batch-mode decision;
+  matches are pure append-only deltas and the component state is the
+  merge-only remap ledger above.
+- GLOBAL configs (ratio test enabled or mutual_only) — a record's
+  decision reads its FULL neighborhood, so each round re-runs
+  decide_matches over the ACCUMULATED scored state (partition-pruned
+  read of scored_rounds ≤ b; the per-round read is O(accumulated), the
+  documented price of global semantics — writes stay deltas). Because
+  a record's best neighbor is monotone in (score desc, id asc) and s2
+  only grows as neighborhoods fill in, a pair's decision can flip
+  MATCH→non-match over time but never back, so the delta state is
+  ``matches/batch=N`` (adds) plus ``revoked/batch=N`` (at most one
+  revoke per pair, always after its add) and the current match set is
+  adds ⟕-anti revokes. Clustering in this mode recomputes connected
+  components from the current match set at read time (merge-only
+  remaps can't express revocation).
 """
 
 from __future__ import annotations
 
 import os
-import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -284,10 +297,24 @@ def _merge_step(
 def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     """(conv_id, component_id) for every conversation seen so far:
     feature ids ⟕ path-compressed remap chain (broadcast only when the
-    guarded driver path certified the chain small)."""
+    guarded driver path certified the chain small).
+
+    Global-decision state (a ``revoked`` dir exists) carries no remap
+    ledger — merge-only remaps can't express revocation — so clusters
+    recompute connected components from the CURRENT match set."""
     all_ids = spark.read.parquet(os.path.join(state_dir, "features")).select(
         "conv_id"
     )
+    rev_path = os.path.join(state_dir, "revoked")
+    if os.path.isdir(rev_path):
+        edges = accumulated_matches(spark, state_dir).select(
+            F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+        )
+        comp = connected_components(edges)
+        return all_ids.join(comp, "conv_id", "left").select(
+            "conv_id",
+            F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
+        )
     remap, small = _read_remap_df(spark, state_dir, 10**9)
     if remap is None:
         return all_ids.select(
@@ -301,9 +328,35 @@ def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
-def accumulated_matches(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Union of all per-batch match deltas (each pair appears once)."""
-    return spark.read.parquet(os.path.join(state_dir, "matches")).drop("batch")
+def _is_global_mode(cfg: PipelineConfig) -> bool:
+    """True when decisions read full neighborhoods (module docstring)."""
+    return cfg.scoring.ratio_threshold != 1.0 or cfg.scoring.mutual_only
+
+
+def accumulated_matches(
+    spark: SparkSession, state_dir: str, upto_batch: int | None = None
+) -> DataFrame:
+    """Current match set: union of per-batch add deltas, minus revokes
+    (global-decision mode only writes revokes; a pair is added at most
+    once and revoked at most once, after its add — see module
+    docstring monotonicity argument)."""
+    m = spark.read.parquet(os.path.join(state_dir, "matches"))
+    if upto_batch is not None:
+        m = m.where(F.col("batch") <= upto_batch)
+    m = m.drop("batch")
+    rev_path = os.path.join(state_dir, "revoked")
+    if os.path.isdir(rev_path) and any(
+        n.startswith("batch=") for n in os.listdir(rev_path)
+    ):
+        rev = spark.read.parquet(rev_path)
+        if upto_batch is not None:
+            rev = rev.where(F.col("batch") <= upto_batch)
+        m = m.join(
+            rev.select("conv_id_a", "conv_id_b"),
+            ["conv_id_a", "conv_id_b"],
+            "left_anti",
+        )
+    return m
 
 
 def round_evaluation_timeseries(
@@ -378,19 +431,15 @@ def run_incremental(
 ) -> DataFrame:
     """Process transcripts in n_batches deterministic chunks,
     maintaining APPEND-ONLY feature/match/component state; returns
-    final clusters.
+    final clusters. Global decision configs (ratio test / mutual_only)
+    re-decide over accumulated scored state each round — delta writes,
+    O(accumulated) per-round reads (module docstring).
 
     With resume=True, continues after the last batch that wrote its
     done marker (kill/resume converges to the single-shot result).
     """
     spark = transcripts.sparkSession
-    if cfg.scoring.ratio_threshold != 1.0 or cfg.scoring.mutual_only:
-        warnings.warn(
-            "incremental decisions see per-batch neighborhoods only; "
-            "ratio/mutual tests may diverge from the single-shot batch "
-            "result (see module docstring)",
-            stacklevel=2,
-        )
+    global_mode = _is_global_mode(cfg)
     start = last_complete_batch(state_dir) + 1 if resume else 0
     os.makedirs(os.path.join(state_dir, "done"), exist_ok=True)
 
@@ -431,17 +480,49 @@ def run_incremental(
             os.path.join(state_dir, "scored_rounds", f"round={b}")
         )
 
-        # 3. decisions are DELTAS — a pair is decided in exactly one batch
-        new_matches = decide_matches(scored, cfg)
-        new_matches.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "matches", f"batch={b}")
-        )
-        new_matches = spark.read.parquet(
-            os.path.join(state_dir, "matches", f"batch={b}")
-        )
+        # 3. decisions. Threshold mode: pure DELTAS — a pair is decided
+        # in exactly one batch. Global mode (ratio/mutual): re-decide
+        # over the ACCUMULATED scored state and diff against the
+        # previous match set (adds + at-most-one revoke per pair —
+        # module docstring).
+        if global_mode:
+            acc_scored = (
+                spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
+                .where(F.col("round") <= b)
+                .drop("round")
+            )
+            full = decide_matches(acc_scored, cfg)
+            keys = ["conv_id_a", "conv_id_b"]
+            if b > 0:  # any earlier batch (fresh or resumed) wrote state
+                prev = accumulated_matches(spark, state_dir, upto_batch=b - 1)
+                adds = full.join(prev.select(*keys), keys, "left_anti")
+                revoked = prev.select(*keys).join(
+                    full.select(*keys), keys, "left_anti"
+                )
+            else:
+                adds = full
+                revoked = spark.createDataFrame(
+                    [], "conv_id_a string, conv_id_b string"
+                )
+            adds.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "matches", f"batch={b}")
+            )
+            revoked.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "revoked", f"batch={b}")
+            )
+        else:
+            new_matches = decide_matches(scored, cfg)
+            new_matches.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "matches", f"batch={b}")
+            )
+            new_matches = spark.read.parquet(
+                os.path.join(state_dir, "matches", f"batch={b}")
+            )
 
-        # 4. incremental CC over the reduced component graph
-        _merge_step(spark, new_matches, state_dir, b, cfg)
+            # 4. incremental CC over the reduced component graph
+            # (global mode recomputes CC at read time instead — merges
+            # can't express revocation)
+            _merge_step(spark, new_matches, state_dir, b, cfg)
 
         with open(_done(state_dir, b), "w") as f:
             f.write("ok")

@@ -97,3 +97,58 @@ def test_sign_lsh_auto_bits_runs(clustered_vectors):
     b = sign_lsh_buckets(clustered_vectors, n_bits=None, target_bucket_rows=50)
     n_buckets = b.select("bucket").distinct().count()
     assert n_buckets > 1  # 400 rows / target 50 -> 8 expected buckets
+
+
+@pytest.fixture(scope="module")
+def correlated_vectors(spark):
+    """Embeddings with correlated coordinates: clustered directions in
+    the ALL-POSITIVE orthant (think post-ReLU / sentence-embedding
+    spectra where most coordinates share a sign). Axis-aligned
+    sign-LSH degenerates — every row hashes to the all-ones bucket, so
+    "bucketing" prunes NOTHING and the within-bucket join is the full
+    quadratic. Feature-hash vectors (zero-mean coordinates) don't hit
+    this; real embedding models do."""
+    rng = np.random.default_rng(11)
+    # half-normal centers: positive orthant, angularly spread directions
+    centers = np.abs(rng.normal(size=(CENTERS, DIM))) * 3.0 + 1.0
+    rows = []
+    for i in range(N):
+        v = centers[i % CENTERS] + rng.normal(size=DIM) * 0.2
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+    return df
+
+
+def _pair_budget(buckets) -> int:
+    """Sum of c*(c-1)/2 over buckets — the within-bucket join cost."""
+    return int(
+        buckets.groupBy("bucket")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .collect()[0][0]
+    )
+
+
+def test_rotated_planes_beat_axis_on_correlated_dims(correlated_vectors):
+    """Opt-in rotated hyperplanes vs axis-aligned on correlated
+    coordinates: axis buckets collapse (max bucket ≈ N, join cost ≈
+    brute force — recall is trivially high because nothing is pruned);
+    the seeded rotation must CUT the join cost materially while keeping
+    high recall. The honest metric is recall per join cost, not raw
+    recall of a degenerate no-op bucketing."""
+    exact = brute_force_topk(correlated_vectors, correlated_vectors, k=K).cache()
+    exact.count()
+    axis_buckets = sign_lsh_buckets(correlated_vectors, n_bits=4)
+    rot_buckets = sign_lsh_buckets(correlated_vectors, n_bits=4, rotation_seed=3)
+    axis_cost = _pair_budget(axis_buckets)
+    rot_cost = _pair_budget(rot_buckets)
+    # all-positive coordinates -> axis bucketing is a no-op (cost ~=
+    # full N(N-1)/2); rotation must prune at least half the join
+    assert axis_cost >= 0.9 * (N * (N - 1) / 2)
+    assert rot_cost <= 0.5 * axis_cost
+    r_rot = _recall(
+        bucketed_topk(correlated_vectors, k=K, n_bits=4, rotation_seed=3), exact
+    )
+    assert r_rot >= 0.8  # prunes the join AND keeps the neighbors
+    exact.unpersist()

@@ -95,6 +95,38 @@ def test_incremental_writes_proportional_to_batch(spark, transcripts, tmp_path):
     assert remaps.count() <= 2 * n_matches  # component state bounded by merges
 
 
+def test_incremental_matches_batch_global_configs(spark, transcripts, tmp_path):
+    """W4 with GLOBAL decision semantics: ratio test + mutual_only read
+    full neighborhoods, so the incremental mode re-decides over
+    accumulated scored state each round. Final matches AND the cluster
+    partition must equal the single-shot batch run (sorted-neighborhood
+    off in both so candidate sets coincide exactly)."""
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+    )
+
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    batch = run_pipeline(transcripts, cfg)
+    state = str(tmp_path / "state_glob")
+    inc = run_incremental(transcripts, cfg, state, n_batches=3)
+    assert _cluster_sets(inc) == _cluster_sets(batch.clusters)
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    want = {
+        (r["conv_id_a"], r["conv_id_b"]) for r in batch.matches.collect()
+    }
+    assert got == want
+
+
 def test_remap_distributed_resolution_no_driver_collect(spark, tmp_path, monkeypatch):
     """>10⁵ merge records resolved WITHOUT a driver collect: the
     distributed pointer-jumping path must produce exactly the driver
