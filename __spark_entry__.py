@@ -283,6 +283,39 @@ def _q_embedding_lsh_buckets(spark, sf_dir):
     return sign_lsh_buckets(emb, n_bits=4).select("vec_id", "bucket")
 
 
+# rotated-hyperplane LSH gate constants: the oracle regenerates the
+# SAME seeded planes and the dot products are identical IEEE double
+# chains in both engines (float32 -> double casts exact, literal plane
+# coefficients roundtrip via repr, left-assoc sums)
+ROT_SEED, ROT_BITS, EMB_DIM = 5, 4, 64
+
+
+def _q_embedding_lsh_buckets_rotated(spark, sf_dir):
+    """J8 rotated variant: seeded general-hyperplane sign-LSH
+    (similarity_search.sign_lsh_buckets rotation_seed) — the
+    correlated-dimension-robust bucketing, JVM column folds only."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return sign_lsh_buckets(
+        emb, n_bits=ROT_BITS, rotation_seed=ROT_SEED
+    ).select("vec_id", "bucket")
+
+
+def _rotated_bucket_sql() -> str:
+    import numpy as np
+
+    planes = np.random.RandomState(ROT_SEED).standard_normal((ROT_BITS, EMB_DIM))
+    bits = []
+    for j in range(ROT_BITS):
+        dot = " + ".join(
+            f"(embedding[{i + 1}]::DOUBLE * {planes[j, i]!r})"
+            for i in range(EMB_DIM)
+        )
+        bits.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return (
+        "SELECT vec_id, (" + " + ".join(bits) + ") AS bucket FROM embeddings"
+    )
+
+
 def _q_ivf_cells(spark, sf_dir):
     """IVF coarse quantization: vector -> nearest centroid. Centroids
     are the deterministic hash-ordered sample (ivf_centroids iters=0)."""
@@ -598,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_buckets": _q_embedding_lsh_buckets,
+        "embedding_lsh_buckets_rotated": _q_embedding_lsh_buckets_rotated,
         "ivf_cells": _q_ivf_cells,
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_nprobe2": _q_ivf_topk_nprobe2,
@@ -1230,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)) AS bucket
             FROM embeddings
         """,
+        "embedding_lsh_buckets_rotated": _rotated_bucket_sql(),
         "ivf_cells": _IVF_ASSIGN_CTE + "SELECT vec_id, cell_id FROM assigned",
         "ivf_topk": _IVF_ASSIGN_CTE + f"""
             , pairs AS (

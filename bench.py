@@ -71,32 +71,66 @@ BENCH_QUERIES = [
 ]
 
 
+# FIXED shuffle-partition count across parallelism levels: the north
+# rule compares the SAME JOB at two cluster sizes, and a Spark job's
+# spark.sql.shuffle.partitions is job config — adding executors does
+# not change it. Scaling partitions with the level (round 2 used
+# 2*cores: 16 vs 64) confounds the measurement: the high level then
+# runs 4x the tasks, paying measurably more total CPU for the same
+# rows (observed ~700 vs ~1100 CPU-s at local[32] for sp=16 vs 64).
+SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(SCALE_HIGH, 16)))
+)
+
+
 def _new_spark(n_cores: int):
     from energy_aware_entity_resolution_spark import get_spark
 
     return get_spark(
         app_name=f"er-bench-{n_cores}",
         master=f"local[{n_cores}]",
-        shuffle_partitions=max(2 * n_cores, 16),
+        shuffle_partitions=SHUFFLE_PARTITIONS,
     )
 
 
 def _jvm_cpu_s(spark) -> float:
-    """Process CPU seconds of the (shared driver+executor) local JVM —
-    the sum of all task CPU plus driver work. Unlike wall time this
-    counts only cycles actually delivered, so it is immune to the
-    host's noisy-neighbor stalls."""
-    # JVM pid via the (public, reflectable) RuntimeMXBean; CPU from
-    # /proc/<pid>/stat utime+stime (all JVM threads). Java 17
+    """CPU seconds of the whole engine process tree: the local JVM
+    (driver + all executor threads) PLUS its live descendants — the
+    pandas-UDF Python workers are separate child processes whose
+    compute /proc/<jvm>/stat alone would miss — plus reaped-child time
+    (cutime/cstime). Unlike wall time this counts only cycles actually
+    delivered, so it is immune to the host's noisy-neighbor stalls."""
+    # JVM pid via the (public, reflectable) RuntimeMXBean; Java 17
     # encapsulates the OS-bean impl so getProcessCpuTime isn't
     # reachable over py4j reflection.
-    pid = (
+    import glob
+
+    root = int(
         spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean().getPid()
     )
-    raw = open(f"/proc/{pid}/stat").read()
-    fields = raw.rsplit(")", 1)[1].split()
-    utime, stime = int(fields[11]), int(fields[12])
-    return (utime + stime) / os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int, int]] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            raw = open(stat).read()
+        except OSError:
+            continue  # process exited mid-scan
+        pid = int(raw.split(" ", 1)[0])
+        f = raw.rsplit(")", 1)[1].split()
+        # fields after comm: 1=ppid 11=utime 12=stime 13=cutime 14=cstime
+        procs[pid] = (int(f[1]), int(f[11]) + int(f[12]), int(f[13]) + int(f[14]))
+    total = 0
+    frontier = [root]
+    seen = set()
+    while frontier:
+        p = frontier.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p][1]
+        if p == root:
+            total += procs[p][2]  # reaped children of the JVM
+        frontier.extend(c for c, (pp, _, _) in procs.items() if pp == p)
+    return total / os.sysconf("SC_CLK_TCK")
 
 
 PROBE_N = int(os.environ.get("SPARK_GRAFT_PROBE_N", str(4 * 10**9)))
@@ -146,9 +180,13 @@ def run_er_pipeline(spark, n_convs: int) -> dict:
     n_clusters = res.clusters.select("component_id").distinct().count()
     wall = time.monotonic() - t0
     cpu_s = _jvm_cpu_s(spark) - cpu0
+    stage_walls = {
+        r["stage"]: round(r["wall_ms"] / 1000.0, 2) for r in res.metrics.rows
+    }
     res.release()
     transcripts.unpersist()
     return {
+        "stage_walls": stage_walls,
         "n_convs": n_convs,
         "n_turns": n_turns,
         "gen_s": round(gen_s, 2),

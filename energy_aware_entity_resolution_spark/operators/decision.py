@@ -86,14 +86,17 @@ def decide_matches(scored: DataFrame, cfg: PipelineConfig) -> DataFrame:
     edges (D1, optionally mutual D3), all above match_threshold; output
     canonical match pairs with decision provenance.
 
-    Single-scan shape: BOTH branches read the same windowed directed
-    frame — the direct branch filters it on score (each pair appears
-    once with src < dst), the ratio branch on rank. The branches'
-    window subtrees are physically identical, so Catalyst's exchange
-    reuse computes the scored input and its shuffle ONCE for the whole
-    decision; deriving `direct` straight from `scored` instead would
-    rescan (or recompute) the widest intermediate in the pipeline a
-    second time.
+    Plan shape (verified on the executed AQE plan): both branches are
+    written against the same windowed directed frame; Catalyst then
+    PRUNES the window out of the direct branch (it references no
+    rank/s2), pushing `score >= direct_threshold` to the scan — so the
+    physical plan is one Window shuffle (ratio branch) plus one cheap
+    filtered re-scan of `scored` (direct branch). With `scored`
+    persisted (run_pipeline does, lazily), the window branch's stage
+    populates the cache and the direct branch reads it: scoring
+    computes exactly once per pipeline, and the whole decision runs
+    inside the downstream dedup-aggregate's action — no extra stage
+    barrier.
     """
     sc = cfg.scoring
     # rank + runner-up in ONE window pass (row_number and lead share

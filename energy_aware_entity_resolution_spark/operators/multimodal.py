@@ -10,6 +10,8 @@ signatures — is real and tested. Decoding:
   uncompressed BMP images (manual header parse), each featurized to a
   fixed FEATURE_DIM vector (audio: RMS/ZCR/duration + log-spectral
   profile; image: per-channel stats + 3x3 gray thumbnail + aspect).
+  BMP images additionally support REAL resize (decode -> nearest-
+  neighbor resample -> re-encode, resize_images mode='real').
   Compressed formats (jpeg/png/mp3/mp4 ...) raise NotImplementedError
   — those genuinely need codec libraries absent from this container;
   the dispatch point is `_REAL_DECODERS`.
@@ -124,6 +126,35 @@ def _bmp_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(v) for v in vec / max(np.linalg.norm(vec), 1e-12)]
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(height, width, 3) uint8 RGB -> uncompressed 24-bit bottom-up
+    BMP bytes — the exact inverse of decode_bmp, no codec library."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + data_size, 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+        )
+    )
+    rows = []
+    pad = b"\x00" * (row_bytes - w * 3)
+    for r in range(h):
+        rows.append(img[h - 1 - r][:, ::-1].tobytes() + pad)  # RGB -> BGR
+    return header + b"".join(rows)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy index gather)."""
+    h, w = img.shape[:2]
+    ys = np.minimum(np.arange(height) * h // height, h - 1)
+    xs = np.minimum(np.arange(width) * w // width, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
 _REAL_DECODERS = {
     "audio/wav": _wav_features,
     "image/bmp": _bmp_features,
@@ -173,20 +204,64 @@ def decode_and_featurize(
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Stub image resize: real implementation decodes + resamples per
-    Arrow batch; here only metadata is rewritten (payload untouched) so
-    the pipeline shape (projection + struct rewrite) is real."""
-    return media.withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.col("meta.n_frames").alias("n_frames"),
-            F.col("meta.mime").alias("mime"),
-        ),
-    )
+def resize_images(
+    media: DataFrame, width: int, height: int, mode: str = "meta"
+) -> DataFrame:
+    """Image resize over the media table.
+
+    mode='real': decode + nearest-neighbor resample + re-encode per
+    Arrow batch (mapInPandas) for the codec-free image format
+    (uncompressed 24-bit BMP, decode_bmp/encode_bmp); image rows with
+    mimes needing codec libraries raise NotImplementedError (absent in
+    this environment); non-image rows pass through untouched.
+    mode='meta': metadata-only rewrite (payload untouched) — the
+    plumbing-shape stand-in for codec formats.
+    """
+    if mode == "meta":
+        return media.withColumn(
+            "meta",
+            F.struct(
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+                F.col("meta.n_frames").alias("n_frames"),
+                F.col("meta.mime").alias("mime"),
+            ),
+        )
+    if mode != "real":
+        raise ValueError(mode)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(
+                pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta or {})
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                mime = meta.get("mime", "")
+                if mime != "image/bmp":
+                    raise NotImplementedError(
+                        f"no codec-free resize for {mime!r} "
+                        "(supported: image/bmp)"
+                    )
+                img = resize_nearest(decode_bmp(bytes(payload)), width, height)
+                payloads.append(bytearray(encode_bmp(img)))
+                meta["width"], meta["height"] = width, height
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:

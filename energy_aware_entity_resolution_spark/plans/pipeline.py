@@ -117,10 +117,11 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
     if cfg.checkpoint_dir:
         scored = _maybe_checkpoint(scored, cfg, "scored_pairs")
     else:
-        # LAZY persist: decide_matches scans scored exactly once (its
-        # two branches share one window subtree — exchange reuse), so
-        # the decision stage's eager count below materializes scoring
-        # and decision in ONE action, removing a stage barrier; the
+        # LAZY persist: decide_matches's window stage populates this
+        # cache and its pruned direct branch re-reads it (see the
+        # decide_matches docstring for the verified plan shape), so the
+        # decision stage's eager count below materializes scoring and
+        # decision in ONE action, removing a stage barrier; the
         # populated cache then serves later consumers of res.scored.
         scored = scored.persist()
     metrics.record("scoring", t0)

@@ -133,3 +133,40 @@ def test_sample_frames_explodes_videos_only(spark):
     assert {r["media_id"] for r in got} == video_ids
     for r in frames.collect():
         assert r["frame_idx"] % 10 == 0
+
+
+def test_encode_bmp_roundtrips_with_decode():
+    from energy_aware_entity_resolution_spark.operators.multimodal import (
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)  # odd width: row pad
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_resize_images_real_resamples_bmp(spark):
+    """mode='real': BMP payload decoded, nearest-neighbor resampled and
+    re-encoded distributively; non-image rows pass through byte-equal."""
+    from energy_aware_entity_resolution_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (12, 8, 3), dtype=np.uint8)
+    wav = _make_wav(440.0)
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(_make_bmp(img)), (8, 12, 0, 0, "image/bmp")),
+            (1, "audio", bytearray(wav), (0, 0, 8000, 0, "audio/wav")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 4, 6, mode="real").collect()}
+    got = decode_bmp(bytes(out[0]["payload"]))
+    assert got.shape == (6, 4, 3)
+    assert np.array_equal(got, resize_nearest(img, 4, 6))
+    assert out[0]["meta"]["width"] == 4 and out[0]["meta"]["height"] == 6
+    assert bytes(out[1]["payload"]) == wav  # non-image untouched
