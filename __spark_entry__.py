@@ -596,6 +596,27 @@ def _q_er_eval_grid(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over the gate pipeline's
+    document vectors (dedup family, embedding-space member): sign-LSH
+    bucket join + exact cosine >= 0.95 (dedup.embedding_near_dup_pairs;
+    reference analog: cosine decisions dynamic_entity_resolution.py:191
+    applied as corpus dedup)."""
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    res = _shared_docs_pipeline(spark, sf_dir)
+    vecs = res.features.select(
+        F.col("conv_id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    return embedding_near_dup_pairs(vecs, threshold=0.95, n_bits=4).select(
+        F.col("vec_id_a").alias("conv_id_a"),
+        F.col("vec_id_b").alias("conv_id_b"),
+        "cosine",
+    )
+
+
 def _q_er_score_hist(spark, sf_dir):
     """Score-distribution histogram by ground-truth label — the data
     behind the reference's similarity scatter plot
@@ -648,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": _q_er_clusters,
         "er_matches": _q_er_matches,
         "er_eval_grid": _q_er_eval_grid,
+        "embedding_near_dup_pairs": _q_embedding_near_dup,
         "er_score_hist": _q_er_score_hist,
     }
 
@@ -1041,6 +1063,36 @@ FROM (SELECT *, tp / greatest(tp + fp, 1) AS p, tp / greatest(tp + fn, 1) AS r
     )
 
 
+def _embedding_near_dup_sql() -> str:
+    """DuckDB twin of _q_embedding_near_dup: recomputes the portable
+    document vectors (vecT), axis-sign buckets them, and verifies
+    cosine >= 0.95 within buckets — the identical double chains the
+    er_matches blend already validates cross-engine."""
+    from energy_aware_entity_resolution_spark.config import ScoringConfig
+
+    dim = ScoringConfig().embedding_dim
+    bucket = " + ".join(
+        f"(CASE WHEN vec[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {dim} + 1),"
+        " j -> a.vec[j] * b.vec[j]))"
+    )
+    na = "sqrt(list_sum(list_transform(a.vec, x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(b.vec, x -> x * x)))"
+    return (
+        "WITH " + _er_pipeline_sql()
+        + f""",
+bkT AS (SELECT conv_id, vec, ({bucket}) AS bucket FROM vecT)
+SELECT conv_id_a, conv_id_b, cosine FROM (
+  SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b,
+         round({dot} / greatest({na} * {nb}, 1e-12), 6) AS cosine
+  FROM bkT a JOIN bkT b ON a.bucket = b.bucket AND a.conv_id < b.conv_id)
+WHERE cosine >= 0.95"""
+    )
+
+
 def _er_score_hist_sql() -> str:
     return (
         "WITH " + _er_pipeline_sql()
@@ -1399,5 +1451,6 @@ def oracle_sql() -> dict[str, str]:
         "er_matches": _er_matches_sql(),
         "er_clusters": _er_clusters_sql(),
         "er_eval_grid": _er_eval_grid_sql(),
+        "embedding_near_dup_pairs": _embedding_near_dup_sql(),
         "er_score_hist": _er_score_hist_sql(),
     }

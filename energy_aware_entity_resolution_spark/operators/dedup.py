@@ -293,3 +293,50 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation_seed: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket equi-join
+    with exact cosine verification >= threshold (the embedding-space
+    member of the dedup family, next to MinHash/SimHash/n-gram).
+
+    Scale shape: the LSH bucket IS the blocking — no all-pairs join
+    ever exists; each vector is owned by exactly one bucket so pairs
+    emit once (no dedup shuffle). n_bits=None derives from N
+    (sign_lsh_buckets); rotation_seed opts into rotated hyperplanes for
+    correlated-dimension embeddings. Recall < 1 by construction
+    (boundary neighbors in different buckets) — raise recall with more
+    verification passes at different rotation seeds, each a new
+    equi-join, never a cross join.
+    """
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        _cosine,
+        sign_lsh_buckets,
+    )
+
+    b = sign_lsh_buckets(
+        vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
+    )
+    a_side = b.select(
+        "bucket", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b_side = b.select(
+        "bucket", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            _cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

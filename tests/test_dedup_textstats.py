@@ -233,3 +233,30 @@ def test_near_dup_pairs_verified(spark, docs):
     assert (0, 2) in out and 0.7 <= out[(0, 2)] < 1.0  # near dup
     assert all(j >= 0.7 for j in out.values())
     assert not any(3 in p or 4 in p or 5 in p for p in out)  # unrelated docs
+
+
+def test_embedding_near_dup_pairs_properties(spark):
+    """Embedding-cosine near-dup: canonical pairs, cosine >= threshold,
+    each pair at most once (single bucket ownership), and planted
+    near-identical vectors are recovered."""
+    import numpy as np
+
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        base = rng.normal(size=8)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in base + rng.normal(size=8) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dup_pairs(df, threshold=0.99, n_bits=3).collect()
+    assert all(r["vec_id_a"] < r["vec_id_b"] for r in got)
+    assert all(r["cosine"] >= 0.99 for r in got)
+    pairs = [(r["vec_id_a"], r["vec_id_b"]) for r in got]
+    assert len(pairs) == len(set(pairs))  # emitted once
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    # twins share signs except hairline boundary cases -> high recall
+    assert len(planted & set(pairs)) >= 35
