@@ -150,7 +150,16 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
             F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
         )
     )
-    clusters = _maybe_checkpoint(clusters, cfg, "clusters")
+    if cfg.checkpoint_dir:
+        clusters = _maybe_checkpoint(clusters, cfg, "clusters")
+    else:
+        # LAZY persist: connected_components already materialized the
+        # heavy work eagerly (driver fast path collect, or the
+        # localCheckpointed star loop); the remaining singleton join
+        # reads the cached features + the materialized components, so
+        # an eager count here would only add one full pass. The first
+        # consumer's action populates the cache.
+        clusters = clusters.persist()
     metrics.record("clustering", t0)
 
     audit = None

@@ -422,6 +422,102 @@ def round_evaluation_timeseries(
     return out.orderBy("round")
 
 
+def process_one_batch(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    cfg: PipelineConfig,
+    state_dir: str,
+    b: int,
+    marker_text: str = "ok",
+) -> None:
+    """One incremental round over a batch of transcript turns — the
+    SHARED step behind run_incremental (chunked batch loop) and
+    stream_incremental_er (Structured Streaming foreachBatch): append
+    the batch's features, stream-static candidates + scoring with a
+    per-round snapshot (W5), decision deltas (global configs re-decide
+    over accumulated scored state — module docstring), component-state
+    update, terminal done marker."""
+    global_mode = _is_global_mode(cfg)
+    os.makedirs(os.path.join(state_dir, "done"), exist_ok=True)
+    feats_new = featurize(assemble_conversations(new_transcripts), cfg)
+
+    # 1. append this batch's features (idempotent partition write),
+    #    then read the full state back (partition-pruned to <= b so
+    #    a crashed later batch's partial files are never visible)
+    feats_new.select(*_FEATURE_COLS).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "features", f"batch={b}")
+    )
+    # featurize persists its tokenized intermediate; the parquet
+    # write above materialized everything — release it or every
+    # batch leaks one cached RDD for the session lifetime
+    _release_upstream(feats_new)
+    all_feats = (
+        spark.read.parquet(os.path.join(state_dir, "features"))
+        .where(F.col("batch") <= b)
+        .drop("batch")
+    )
+    feats_new = spark.read.parquet(
+        os.path.join(state_dir, "features", f"batch={b}")
+    )
+
+    # 2. stream-static candidates + scoring; per-round snapshot (W5)
+    cands = _incremental_candidates(feats_new, all_feats, cfg)
+    scored = score_pairs(cands, all_feats, cfg)
+    scored.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "scored_rounds", f"round={b}")
+    )
+    scored = spark.read.parquet(
+        os.path.join(state_dir, "scored_rounds", f"round={b}")
+    )
+
+    # 3. decisions. Threshold mode: pure DELTAS — a pair is decided
+    # in exactly one batch. Global mode (ratio/mutual): re-decide
+    # over the ACCUMULATED scored state and diff against the
+    # previous match set (adds + at-most-one revoke per pair —
+    # module docstring).
+    if global_mode:
+        acc_scored = (
+            spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
+            .where(F.col("round") <= b)
+            .drop("round")
+        )
+        full = decide_matches(acc_scored, cfg)
+        keys = ["conv_id_a", "conv_id_b"]
+        if b > 0:  # any earlier batch (fresh or resumed) wrote state
+            prev = accumulated_matches(spark, state_dir, upto_batch=b - 1)
+            adds = full.join(prev.select(*keys), keys, "left_anti")
+            revoked = prev.select(*keys).join(
+                full.select(*keys), keys, "left_anti"
+            )
+        else:
+            adds = full
+            revoked = spark.createDataFrame(
+                [], "conv_id_a string, conv_id_b string"
+            )
+        adds.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "matches", f"batch={b}")
+        )
+        revoked.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "revoked", f"batch={b}")
+        )
+    else:
+        new_matches = decide_matches(scored, cfg)
+        new_matches.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "matches", f"batch={b}")
+        )
+        new_matches = spark.read.parquet(
+            os.path.join(state_dir, "matches", f"batch={b}")
+        )
+
+        # 4. incremental CC over the reduced component graph
+        # (global mode recomputes CC at read time instead — merges
+        # can't express revocation)
+        _merge_step(spark, new_matches, state_dir, b, cfg)
+
+    with open(_done(state_dir, b), "w") as f:
+        f.write(marker_text)
+
+
 def run_incremental(
     transcripts: DataFrame,
     cfg: PipelineConfig,
@@ -439,9 +535,7 @@ def run_incremental(
     done marker (kill/resume converges to the single-shot result).
     """
     spark = transcripts.sparkSession
-    global_mode = _is_global_mode(cfg)
     start = last_complete_batch(state_dir) + 1 if resume else 0
-    os.makedirs(os.path.join(state_dir, "done"), exist_ok=True)
 
     batched = transcripts.withColumn(
         "_batch", F.pmod(F.xxhash64("conv_id"), F.lit(n_batches))
@@ -449,82 +543,6 @@ def run_incremental(
 
     for b in range(start, n_batches):
         new = batched.where(F.col("_batch") == b).drop("_batch")
-        feats_new = featurize(assemble_conversations(new), cfg)
-
-        # 1. append this batch's features (idempotent partition write),
-        #    then read the full state back (partition-pruned to <= b so
-        #    a crashed later batch's partial files are never visible)
-        feats_new.select(*_FEATURE_COLS).write.mode("overwrite").parquet(
-            os.path.join(state_dir, "features", f"batch={b}")
-        )
-        # featurize persists its tokenized intermediate; the parquet
-        # write above materialized everything — release it or every
-        # batch leaks one cached RDD for the session lifetime
-        _release_upstream(feats_new)
-        all_feats = (
-            spark.read.parquet(os.path.join(state_dir, "features"))
-            .where(F.col("batch") <= b)
-            .drop("batch")
-        )
-        feats_new = spark.read.parquet(
-            os.path.join(state_dir, "features", f"batch={b}")
-        )
-
-        # 2. stream-static candidates + scoring; per-round snapshot (W5)
-        cands = _incremental_candidates(feats_new, all_feats, cfg)
-        scored = score_pairs(cands, all_feats, cfg)
-        scored.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "scored_rounds", f"round={b}")
-        )
-        scored = spark.read.parquet(
-            os.path.join(state_dir, "scored_rounds", f"round={b}")
-        )
-
-        # 3. decisions. Threshold mode: pure DELTAS — a pair is decided
-        # in exactly one batch. Global mode (ratio/mutual): re-decide
-        # over the ACCUMULATED scored state and diff against the
-        # previous match set (adds + at-most-one revoke per pair —
-        # module docstring).
-        if global_mode:
-            acc_scored = (
-                spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
-                .where(F.col("round") <= b)
-                .drop("round")
-            )
-            full = decide_matches(acc_scored, cfg)
-            keys = ["conv_id_a", "conv_id_b"]
-            if b > 0:  # any earlier batch (fresh or resumed) wrote state
-                prev = accumulated_matches(spark, state_dir, upto_batch=b - 1)
-                adds = full.join(prev.select(*keys), keys, "left_anti")
-                revoked = prev.select(*keys).join(
-                    full.select(*keys), keys, "left_anti"
-                )
-            else:
-                adds = full
-                revoked = spark.createDataFrame(
-                    [], "conv_id_a string, conv_id_b string"
-                )
-            adds.write.mode("overwrite").parquet(
-                os.path.join(state_dir, "matches", f"batch={b}")
-            )
-            revoked.write.mode("overwrite").parquet(
-                os.path.join(state_dir, "revoked", f"batch={b}")
-            )
-        else:
-            new_matches = decide_matches(scored, cfg)
-            new_matches.write.mode("overwrite").parquet(
-                os.path.join(state_dir, "matches", f"batch={b}")
-            )
-            new_matches = spark.read.parquet(
-                os.path.join(state_dir, "matches", f"batch={b}")
-            )
-
-            # 4. incremental CC over the reduced component graph
-            # (global mode recomputes CC at read time instead — merges
-            # can't express revocation)
-            _merge_step(spark, new_matches, state_dir, b, cfg)
-
-        with open(_done(state_dir, b), "w") as f:
-            f.write("ok")
+        process_one_batch(spark, new, cfg, state_dir, b)
 
     return resolve_clusters(spark, state_dir)

@@ -164,63 +164,25 @@ def stream_incremental_er(
     incremental ER round against the accumulated state (W4). Returns
     the StreamingQuery; callers stop it or use Trigger.AvailableNow.
     """
-    import os
-
-    from energy_aware_entity_resolution_spark.operators.assemble import (
-        assemble_conversations,
-    )
-    from energy_aware_entity_resolution_spark.operators.blocking import featurize
-    from energy_aware_entity_resolution_spark.operators.decision import (
-        decide_matches,
-    )
-    from energy_aware_entity_resolution_spark.operators.scoring import score_pairs
-    from energy_aware_entity_resolution_spark.plans.pipeline import (
-        _release_upstream,
-    )
     from energy_aware_entity_resolution_spark.streaming.incremental import (
-        _FEATURE_COLS,
-        _done,
-        _incremental_candidates,
-        _merge_step,
         last_complete_batch,
+        process_one_batch,
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        """One micro-batch = one incremental round. APPEND-ONLY state
-        (shared layout with streaming.incremental): per-batch feature /
-        match deltas + component remap records — per-batch writes are
-        proportional to the batch, never to the accumulated state."""
+        """One micro-batch = one incremental round, the SAME shared
+        step (and state layout) as streaming.incremental — per-batch
+        feature/match deltas, per-round scored snapshots (W5),
+        component remap records; per-batch writes proportional to the
+        batch. Global decision configs (ratio/mutual) re-decide over
+        accumulated scored state, exactly like the chunked loop."""
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         b = last_complete_batch(state_dir) + 1
-        os.makedirs(os.path.join(state_dir, "done"), exist_ok=True)
-        feats_new = featurize(assemble_conversations(batch_df), cfg)
-        feats_new.select(*_FEATURE_COLS).write.mode("overwrite").parquet(
-            os.path.join(state_dir, "features", f"batch={b}")
+        process_one_batch(
+            batch_df.sparkSession, batch_df, cfg, state_dir, b,
+            marker_text=str(epoch_id),
         )
-        # release featurize's tokenized cache — a long-running stream
-        # would otherwise leak one cached RDD per micro-batch
-        _release_upstream(feats_new)
-        all_feats = (
-            spark.read.parquet(os.path.join(state_dir, "features"))
-            .where(F.col("batch") <= b)
-            .drop("batch")
-        )
-        feats_new = spark.read.parquet(
-            os.path.join(state_dir, "features", f"batch={b}")
-        )
-        cands = _incremental_candidates(feats_new, all_feats, cfg)
-        new_matches = decide_matches(score_pairs(cands, all_feats, cfg), cfg)
-        new_matches.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "matches", f"batch={b}")
-        )
-        new_matches = spark.read.parquet(
-            os.path.join(state_dir, "matches", f"batch={b}")
-        )
-        _merge_step(spark, new_matches, state_dir, b, cfg)
-        with open(_done(state_dir, b), "w") as f:
-            f.write(str(epoch_id))
 
     return (
         stream.writeStream.foreachBatch(process_batch)

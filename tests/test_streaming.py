@@ -259,3 +259,50 @@ def test_windowed_turn_counts_streaming(spark, transcripts, tmp_path):
     # not the contract here — the streaming plan executing is
     rows = spark.sql("SELECT * FROM win_counts").collect()
     assert q.lastProgress is not None
+
+
+def test_stream_incremental_er_global_mode_matches_batch(
+    spark, transcripts, tmp_path
+):
+    """The foreachBatch path shares process_one_batch with the chunked
+    loop, so GLOBAL decision configs (mutual/ratio) must also converge
+    to the single-shot batch result through the streaming surface."""
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.plans import run_pipeline
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+        resolve_clusters,
+    )
+
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    src = _stage_parquet_chunks(spark, transcripts, str(tmp_path / "gsrc"), 3)
+    state = str(tmp_path / "gstate")
+    q = stream_incremental_er(
+        file_reader(spark, src, max_files_per_trigger=1),
+        cfg,
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "gckpt"),
+    )
+    q.awaitTermination(300)
+
+    batch = run_pipeline(transcripts, cfg)
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    want = {(r["conv_id_a"], r["conv_id_b"]) for r in batch.matches.collect()}
+    assert got == want
+
+    def sets(df):
+        groups = {}
+        for r in df.collect():
+            groups.setdefault(r["component_id"], set()).add(r["conv_id"])
+        return {frozenset(v) for v in groups.values()}
+
+    assert sets(resolve_clusters(spark, state)) == sets(batch.clusters)
