@@ -199,3 +199,40 @@ def test_round_evaluation_timeseries(spark, transcripts, labeled_pairs, tmp_path
     assert tps == sorted(tps)  # deltas only accrue
     final = ts[-1]
     assert final["recall"] == 1.0 and final["precision"] == 1.0
+
+
+def test_remap_resolution_random_forests(spark, tmp_path, monkeypatch):
+    """Distributed pointer-jumping == driver path-compression on
+    seeded random merge forests of varying depth/shape (each batch
+    merges random current roots, like real incremental CC rounds)."""
+    import random
+
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+
+    for seed in (1, 2, 3):
+        rnd = random.Random(seed)
+        state = str(tmp_path / f"rf{seed}")
+        roots = [f"n{i:03d}" for i in range(60)]
+        for b in range(rnd.randint(2, 5)):
+            rows = []
+            # merge a random subset of current roots pairwise
+            merged = rnd.sample(roots, k=rnd.randint(2, max(2, len(roots) // 3)))
+            for i in range(0, len(merged) - 1, 2):
+                a, c = merged[i], merged[i + 1]
+                lo, hi = min(a, c), max(a, c)
+                rows.append((hi, lo))  # hi demoted into lo
+                roots.remove(hi)
+            if not rows:
+                rows = [("zzz_dummy", "n000")]
+            spark.createDataFrame(
+                rows, "old_root string, new_root string"
+            ).write.mode("overwrite").parquet(f"{state}/remaps/batch={b}")
+        driver, small = inc._read_remap_df(spark, state, 10**9)
+        assert small
+        monkeypatch.setattr(inc, "_REMAP_DRIVER_MAX_ROWS", 0)
+        dist, small2 = inc._read_remap_df(spark, state, 10**9)
+        monkeypatch.undo()
+        assert not small2
+        got = {(r["old_root"], r["new_root"]) for r in dist.collect()}
+        want = {(r["old_root"], r["new_root"]) for r in driver.collect()}
+        assert got == want
