@@ -49,3 +49,30 @@ def test_two_null_text_conversations_are_exact_dups(spark):
     assert comp["a"] == comp["b"] == "a"
     assert comp["z"] == "z"
     res.release()
+
+
+def test_incremental_global_mode_empty_and_singleton(spark, tmp_path):
+    """Global-decision incremental mode on degenerate inputs: a batch
+    producing zero candidates must write empty add/revoke deltas and
+    resolve every conversation as its own singleton cluster."""
+    from energy_aware_entity_resolution_spark.config import (
+        PipelineConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        run_incremental,
+    )
+
+    rows = [
+        ("c1", 0, "user", "alpha beta gamma unique", None, "2026-01-01 00:00:00"),
+        ("c2", 0, "user", "totally different words here", None, "2026-01-01 00:00:01"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cfg = PipelineConfig(scoring=ScoringConfig(mutual_only=True))
+    clusters = run_incremental(t, cfg, str(tmp_path / "deg"), n_batches=2)
+    got = {r["conv_id"]: r["component_id"] for r in clusters.collect()}
+    assert got == {"c1": "c1", "c2": "c2"}
