@@ -306,8 +306,10 @@ def _rotated_bucket_sql() -> str:
     planes = np.random.RandomState(ROT_SEED).standard_normal((ROT_BITS, EMB_DIM))
     bits = []
     for j in range(ROT_BITS):
+        # float() before repr: numpy 2.x reprs np.float64 as
+        # 'np.float64(x)', which is not SQL
         dot = " + ".join(
-            f"(embedding[{i + 1}]::DOUBLE * {planes[j, i]!r})"
+            f"(embedding[{i + 1}]::DOUBLE * {float(planes[j, i])!r})"
             for i in range(EMB_DIM)
         )
         bits.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << j} ELSE 0 END)")

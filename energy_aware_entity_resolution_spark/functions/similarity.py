@@ -101,6 +101,11 @@ def _jaro_winkler(s1: str, s2: str) -> float:
             k += 1
     t //= 2
     jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    # canonical Winkler: the prefix boost applies only above the 0.7
+    # Jaro threshold (Winkler 1990) — also what rapidfuzz implements,
+    # so the fallback and the C kernel below agree bit-for-bit
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:

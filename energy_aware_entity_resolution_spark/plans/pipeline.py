@@ -123,6 +123,12 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
         # decision stage's eager count below materializes scoring and
         # decision in ONE action, removing a stage barrier; the
         # populated cache then serves later consumers of res.scored.
+        # No concurrent-population race: the direct branch is a narrow
+        # child of the union INSIDE the post-window stage's map side
+        # (union members join the consuming stage), and that stage
+        # depends on the window's shuffle stage — so the only LEAF
+        # stage scanning scored is the window branch; the direct
+        # branch's scan runs strictly after the cache is populated.
         scored = scored.persist()
     metrics.record("scoring", t0)
 

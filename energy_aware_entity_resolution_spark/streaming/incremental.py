@@ -301,13 +301,21 @@ def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
 
     Global-decision state (a ``revoked`` dir exists) carries no remap
     ledger — merge-only remaps can't express revocation — so clusters
-    recompute connected components from the CURRENT match set."""
-    all_ids = spark.read.parquet(os.path.join(state_dir, "features")).select(
-        "conv_id"
+    recompute connected components from the CURRENT match set.
+
+    Every read is bounded to COMMITTED batches (done marker written):
+    a crashed or concurrently-running batch's partial files — features
+    without matches, adds without revokes, remaps without the marker —
+    are never visible."""
+    last = last_complete_batch(state_dir)
+    all_ids = (
+        spark.read.parquet(os.path.join(state_dir, "features"))
+        .where(F.col("batch") <= last)
+        .select("conv_id")
     )
     rev_path = os.path.join(state_dir, "revoked")
     if os.path.isdir(rev_path):
-        edges = accumulated_matches(spark, state_dir).select(
+        edges = accumulated_matches(spark, state_dir, upto_batch=last).select(
             F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
         )
         comp = connected_components(edges)
@@ -315,7 +323,7 @@ def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
             "conv_id",
             F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
         )
-    remap, small = _read_remap_df(spark, state_dir, 10**9)
+    remap, small = _read_remap_df(spark, state_dir, last + 1)
     if remap is None:
         return all_ids.select(
             "conv_id", F.col("conv_id").alias("component_id")
@@ -339,18 +347,27 @@ def accumulated_matches(
     """Current match set: union of per-batch add deltas, minus revokes
     (global-decision mode only writes revokes; a pair is added at most
     once and revoked at most once, after its add — see module
-    docstring monotonicity argument)."""
-    m = spark.read.parquet(os.path.join(state_dir, "matches"))
-    if upto_batch is not None:
-        m = m.where(F.col("batch") <= upto_batch)
-    m = m.drop("batch")
+    docstring monotonicity argument).
+
+    upto_batch=None reads COMMITTED state only (batches with a done
+    marker): a batch's adds land before its revokes, so an unbounded
+    read during a crash window or a concurrent micro-batch would see
+    pairs whose revocation hasn't been written yet — the same
+    partial-state hazard the features reader prunes against."""
+    if upto_batch is None:
+        upto_batch = last_complete_batch(state_dir)
+    m = (
+        spark.read.parquet(os.path.join(state_dir, "matches"))
+        .where(F.col("batch") <= upto_batch)
+        .drop("batch")
+    )
     rev_path = os.path.join(state_dir, "revoked")
     if os.path.isdir(rev_path) and any(
         n.startswith("batch=") for n in os.listdir(rev_path)
     ):
-        rev = spark.read.parquet(rev_path)
-        if upto_batch is not None:
-            rev = rev.where(F.col("batch") <= upto_batch)
+        rev = spark.read.parquet(rev_path).where(
+            F.col("batch") <= upto_batch
+        )
         m = m.join(
             rev.select("conv_id_a", "conv_id_b"),
             ["conv_id_a", "conv_id_b"],
@@ -367,28 +384,52 @@ def round_evaluation_timeseries(
     evaluation_timeseires.py:194-252 re-reads each round's similarity
     snapshot and reports P/R/F1 per window).
 
-    Match state "as of round r" = the union of batch deltas with
-    batch <= r, so the whole timeseries is ONE pass: cross the
-    (match, batch) rows with the round list (tiny, broadcast), keep
-    batch <= round, aggregate per round against the ground truth.
+    Match state "as of round r" = add deltas with batch <= r MINUS
+    revokes with batch <= r (global-decision mode; a pair is added and
+    revoked at most once each, so the membership interval is
+    [add_batch, rev_batch)). One pass: left-join each match to its
+    revoke batch, cross with the round list (tiny, broadcast), keep
+    add_batch <= round < coalesce(rev_batch, ∞), aggregate per round
+    against the ground truth.
 
     Output: (round, tp, fp, fn, precision, recall, f1) — one row per
-    completed batch, monotone in matched pairs (deltas only accrue).
+    completed batch. Monotone in matched pairs for threshold-mode
+    state (deltas only accrue); global-mode revocations can lower
+    counts between rounds, faithfully.
     """
-    matches = spark.read.parquet(os.path.join(state_dir, "matches")).select(
-        "conv_id_a", "conv_id_b", "batch"
-    )
     last = last_complete_batch(state_dir)
+    matches = (
+        spark.read.parquet(os.path.join(state_dir, "matches"))
+        .where(F.col("batch") <= last)
+        .select("conv_id_a", "conv_id_b", "batch")
+    )
+    rev_path = os.path.join(state_dir, "revoked")
+    if os.path.isdir(rev_path) and any(
+        n.startswith("batch=") for n in os.listdir(rev_path)
+    ):
+        rev = (
+            spark.read.parquet(rev_path)
+            .where(F.col("batch") <= last)
+            .select(
+                "conv_id_a", "conv_id_b", F.col("batch").alias("rev_batch")
+            )
+        )
+        matches = matches.join(rev, ["conv_id_a", "conv_id_b"], "left")
+    else:
+        matches = matches.withColumn("rev_batch", F.lit(None).cast("int"))
     rounds = spark.range(0, last + 1).select(F.col("id").cast("int").alias("round"))
     truth = truth_pairs.select("conv_id_a", "conv_id_b").withColumn(
         "is_true", F.lit(1)
     )
     labeled = matches.join(truth, ["conv_id_a", "conv_id_b"], "left").select(
-        "batch", F.coalesce("is_true", F.lit(0)).alias("is_true")
+        "batch", "rev_batch", F.coalesce("is_true", F.lit(0)).alias("is_true")
     )
     per_round = (
         labeled.crossJoin(F.broadcast(rounds))
-        .where(F.col("batch") <= F.col("round"))
+        .where(
+            (F.col("batch") <= F.col("round"))
+            & (F.col("rev_batch").isNull() | (F.col("round") < F.col("rev_batch")))
+        )
         .groupBy("round")
         .agg(
             F.sum("is_true").alias("tp"),

@@ -236,3 +236,45 @@ def test_remap_resolution_random_forests(spark, tmp_path, monkeypatch):
         got = {(r["old_root"], r["new_root"]) for r in dist.collect()}
         want = {(r["old_root"], r["new_root"]) for r in driver.collect()}
         assert got == want
+
+
+def test_round_timeseries_respects_revokes(spark, tmp_path):
+    """Global-mode state: a pair added in round 0 and revoked in round
+    1 must count in round 0's metrics and DISAPPEAR from round 1's —
+    and uncommitted batches (no done marker) must be invisible."""
+    import os
+
+    state = str(tmp_path / "ts_rev")
+    os.makedirs(f"{state}/done", exist_ok=True)
+    spark.createDataFrame(
+        [("a", "b", 0.9, "ratio")],
+        "conv_id_a string, conv_id_b string, score double, decision string",
+    ).write.parquet(f"{state}/matches/batch=0")
+    spark.createDataFrame(
+        [], "conv_id_a string, conv_id_b string"
+    ).write.parquet(f"{state}/revoked/batch=0")
+    spark.createDataFrame(
+        [], "conv_id_a string, conv_id_b string, score double, decision string"
+    ).write.parquet(f"{state}/matches/batch=1")
+    spark.createDataFrame(
+        [("a", "b")], "conv_id_a string, conv_id_b string"
+    ).write.parquet(f"{state}/revoked/batch=1")
+    # an UNCOMMITTED batch 2 re-adding the pair must not be read
+    spark.createDataFrame(
+        [("a", "b", 0.9, "ratio")],
+        "conv_id_a string, conv_id_b string, score double, decision string",
+    ).write.parquet(f"{state}/matches/batch=2")
+    for b in (0, 1):
+        open(f"{state}/done/_DONE_{b:04d}", "w").write("ok")
+
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+        round_evaluation_timeseries,
+    )
+
+    truth = spark.createDataFrame(
+        [("a", "b")], "conv_id_a string, conv_id_b string"
+    )
+    ts = {r["round"]: r for r in round_evaluation_timeseries(spark, state, truth).collect()}
+    assert ts[0]["tp"] == 1 and ts[1]["tp"] == 0
+    assert accumulated_matches(spark, state).count() == 0  # committed view
