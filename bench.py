@@ -420,11 +420,13 @@ def _write_bench_md(out: dict) -> None:
         f"**Medians — pipeline speedup {s['n_low_cores']}→{s['n_high_cores']} "
         f"cores: {s['speedup']}×; raw scaling efficiency: {s['efficiency']}; "
         f"normalized to the machine's measured compute ceiling: "
-        f"{s['normalized_efficiency']}. CPU decomposition: pipeline CPU "
-        f"ratio {s['cpu_ratio']} = hardware inflation {s['probe_cpu_ratio']} "
-        f"(the probe's identical work costs this much more /proc CPU across "
-        f"the SMT boundary) × engine-added overhead "
-        f"{s['engine_cpu_overhead']} (1.0 = work-conserving).**",
+        f"{s['normalized_efficiency']}. CPU decomposition (each a MEDIAN of "
+        f"per-rep values, so the factors compose within a rep's row above, "
+        f"not across these summaries): pipeline CPU ratio {s['cpu_ratio']}; "
+        f"hardware inflation {s['probe_cpu_ratio']} (the probe's identical "
+        f"work costs this much more /proc CPU across the SMT boundary); "
+        f"engine-added overhead {s['engine_cpu_overhead']} "
+        f"(per-rep cpu_ratio / probe_cpu_ratio; 1.0 = work-conserving).**",
         "",
         f"Hardware ceiling: a pure-JVM embarrassingly-parallel probe "
         f"(`bit_xor(xxhash64(id))` over `spark.range`), run adjacent to every "

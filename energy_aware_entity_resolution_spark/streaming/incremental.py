@@ -463,6 +463,30 @@ def round_evaluation_timeseries(
     return out.orderBy("round")
 
 
+def epoch_already_processed(state_dir: str, epoch_marker: str) -> bool:
+    """True iff a done marker carrying this content exists — the
+    foreachBatch replay guard. Structured Streaming's foreachBatch is
+    at-least-once: a crash after the done marker but before the
+    checkpoint WAL commit re-delivers the SAME epoch_id, which would
+    re-ingest the same records under a fresh batch id (duplicated
+    scored pairs make every affected pair its own runner-up, so a
+    global-mode ratio test would silently revoke genuine matches).
+    Marker content = str(epoch_id) keys the dedup; run_incremental's
+    'ok' markers never collide with numeric epoch ids."""
+    done_dir = os.path.join(state_dir, "done")
+    if not os.path.isdir(done_dir):
+        return False
+    for name in os.listdir(done_dir):
+        if name.startswith("_DONE_"):
+            try:
+                with open(os.path.join(done_dir, name)) as f:
+                    if f.read() == epoch_marker:
+                        return True
+            except OSError:
+                continue
+    return False
+
+
 def process_one_batch(
     spark: SparkSession,
     new_transcripts: DataFrame,
@@ -470,6 +494,7 @@ def process_one_batch(
     state_dir: str,
     b: int,
     marker_text: str = "ok",
+    scored_snapshots: bool = True,
 ) -> None:
     """One incremental round over a batch of transcript turns — the
     SHARED step behind run_incremental (chunked batch loop) and
@@ -477,8 +502,15 @@ def process_one_batch(
     the batch's features, stream-static candidates + scoring with a
     per-round snapshot (W5), decision deltas (global configs re-decide
     over accumulated scored state — module docstring), component-state
-    update, terminal done marker."""
+    update, terminal done marker.
+
+    scored_snapshots=False skips the per-round scored-pair snapshot
+    (W5) for lean threshold-mode streams — the snapshot is the widest
+    intermediate and nothing reads it in threshold mode; global
+    configs REQUIRE it (the accumulated re-decision reads the whole
+    scored_rounds tree), so the flag is overridden there."""
     global_mode = _is_global_mode(cfg)
+    scored_snapshots = scored_snapshots or global_mode
     os.makedirs(os.path.join(state_dir, "done"), exist_ok=True)
     feats_new = featurize(assemble_conversations(new_transcripts), cfg)
 
@@ -504,12 +536,19 @@ def process_one_batch(
     # 2. stream-static candidates + scoring; per-round snapshot (W5)
     cands = _incremental_candidates(feats_new, all_feats, cfg)
     scored = score_pairs(cands, all_feats, cfg)
-    scored.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "scored_rounds", f"round={b}")
-    )
-    scored = spark.read.parquet(
-        os.path.join(state_dir, "scored_rounds", f"round={b}")
-    )
+    if scored_snapshots:
+        scored.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "scored_rounds", f"round={b}")
+        )
+        if not global_mode:
+            # threshold mode decides over THIS round's pairs: read the
+            # snapshot back so the decision reuses the written bytes
+            # instead of recomputing scoring (global mode reads the
+            # whole accumulated tree below instead — this round
+            # included — so a single-round read-back would be unused)
+            scored = spark.read.parquet(
+                os.path.join(state_dir, "scored_rounds", f"round={b}")
+            )
 
     # 3. decisions. Threshold mode: pure DELTAS — a pair is decided
     # in exactly one batch. Global mode (ratio/mutual): re-decide

@@ -154,38 +154,60 @@ def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
     )
 
 
-def stream_incremental_er(
-    stream: DataFrame,
-    cfg: PipelineConfig,
-    state_dir: str,
-    checkpoint_dir: str,
+def make_process_batch(
+    cfg: PipelineConfig, state_dir: str, scored_snapshots: bool = True
 ):
-    """foreachBatch wiring: every micro-batch of turns runs one
-    incremental ER round against the accumulated state (W4). Returns
-    the StreamingQuery; callers stop it or use Trigger.AvailableNow.
-    """
+    """Build the foreachBatch callable (exposed so tests can drive
+    replay semantics directly): one micro-batch = one incremental
+    round, the SAME shared step (and state layout) as
+    streaming.incremental — per-batch feature/match deltas, per-round
+    scored snapshots (W5, opt-out for lean threshold streams),
+    component remap records; per-batch writes proportional to the
+    batch. Global decision configs (ratio/mutual) re-decide over
+    accumulated scored state, exactly like the chunked loop.
+
+    Idempotent under foreachBatch's at-least-once replay: a re-delivered
+    epoch (crash between the done marker and the checkpoint commit) is
+    detected by its marker content and skipped — without this, the
+    replay would re-ingest the same records under a fresh batch id and
+    the duplicated scored pairs would make a global-mode ratio test
+    revoke genuine matches (each pair becomes its own runner-up)."""
     from energy_aware_entity_resolution_spark.streaming.incremental import (
+        epoch_already_processed,
         last_complete_batch,
         process_one_batch,
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        """One micro-batch = one incremental round, the SAME shared
-        step (and state layout) as streaming.incremental — per-batch
-        feature/match deltas, per-round scored snapshots (W5),
-        component remap records; per-batch writes proportional to the
-        batch. Global decision configs (ratio/mutual) re-decide over
-        accumulated scored state, exactly like the chunked loop."""
         if batch_df.isEmpty():
             return
+        if epoch_already_processed(state_dir, str(epoch_id)):
+            return  # replayed epoch: state already committed
         b = last_complete_batch(state_dir) + 1
         process_one_batch(
             batch_df.sparkSession, batch_df, cfg, state_dir, b,
             marker_text=str(epoch_id),
+            scored_snapshots=scored_snapshots,
         )
 
+    return process_batch
+
+
+def stream_incremental_er(
+    stream: DataFrame,
+    cfg: PipelineConfig,
+    state_dir: str,
+    checkpoint_dir: str,
+    scored_snapshots: bool = True,
+):
+    """foreachBatch wiring: every micro-batch of turns runs one
+    incremental ER round against the accumulated state (W4). Returns
+    the StreamingQuery; callers stop it or use Trigger.AvailableNow.
+    """
     return (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(
+            make_process_batch(cfg, state_dir, scored_snapshots)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -306,3 +306,68 @@ def test_stream_incremental_er_global_mode_matches_batch(
         return {frozenset(v) for v in groups.values()}
 
     assert sets(resolve_clusters(spark, state)) == sets(batch.clusters)
+
+
+def test_foreachbatch_epoch_replay_is_idempotent(spark, transcripts, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an epoch after its
+    done marker was written (crash before the checkpoint WAL commit)
+    must be a no-op — without the guard the replay re-ingests the same
+    records under a new batch id, and in global mode the duplicated
+    scored pairs (s2 == s1) would revoke genuine ratio-test matches."""
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+        last_complete_batch,
+    )
+    from energy_aware_entity_resolution_spark.streaming.structured import (
+        make_process_batch,
+    )
+
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "replay_state")
+    pb = make_process_batch(cfg, state)
+    pb(transcripts, epoch_id=0)
+    assert last_complete_batch(state) == 0
+    before = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    assert before  # the fixture plants real matches
+    pb(transcripts, epoch_id=0)  # REPLAY of the same epoch
+    assert last_complete_batch(state) == 0  # no new batch ingested
+    after = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    assert after == before  # nothing revoked, nothing duplicated
+    pb(transcripts, epoch_id=1)  # a NEW epoch still processes
+    assert last_complete_batch(state) == 1
+
+
+def test_stream_threshold_mode_snapshot_opt_out(spark, transcripts, tmp_path):
+    """scored_snapshots=False: the lean threshold-mode stream skips the
+    widest-intermediate write entirely and still converges."""
+    import os
+
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        resolve_clusters,
+    )
+
+    src = _stage_parquet_chunks(spark, transcripts, str(tmp_path / "lsrc"), 2)
+    state = str(tmp_path / "lstate")
+    q = stream_incremental_er(
+        file_reader(spark, src, max_files_per_trigger=1),
+        PipelineConfig(),
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "lckpt"),
+        scored_snapshots=False,
+    )
+    q.awaitTermination(300)
+    assert not os.path.isdir(os.path.join(state, "scored_rounds"))
+    assert resolve_clusters(spark, state).count() > 0
