@@ -24,6 +24,10 @@ dynamic_entity_resolution.py:10-215) with Spark-native strategies:
   analog of the reference's blocked `E_block @ E.T` kernel
   (dynamic_entity_resolution.py:161-215), but per blocking key inside
   applyInPandas, never a global driver matrix.
+- pq_*: product quantization (Jégou et al. TPAMI'11) — vectors
+  compressed to m one-byte codes, asymmetric-distance search via
+  broadcast lookup tables, optional exact rerank of the ADC shortlist
+  (the FAISS IVF-PQ pattern, the billion-vector scale path).
 """
 
 from __future__ import annotations
@@ -374,4 +378,206 @@ def block_topk_applyinpandas(
             per_block,
             schema="query_id long, neighbor_id long, cosine double, rank int",
         )
+    )
+
+
+# ------------------------------------------------------------------ PQ
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 4096,
+    iters: int = 10,
+) -> list:
+    """Product-quantization codebooks: the vector space split into m
+    subspaces, each with a k-entry codebook — the standard compressed
+    ANN representation for billion-vector corpora (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11; FAISS IVF-PQ —
+    the scale successor of the reference's flat index).
+
+    Training: a deterministic hash-ordered sample of train_rows vectors
+    (same scale-safe TakeOrdered policy as ivf_centroids: never a
+    global sort, reproducible at any parallelism) collects to the
+    driver — train_rows * dim doubles, tiny — and each subspace runs
+    `iters` Lloyd steps of numpy k-means seeded from the first k sample
+    rows. Untrained codebooks (iters=0) quantize real data too coarsely
+    to rank neighbors. Returns a driver-side list of m (k, sub_dim)
+    numpy arrays — m*k*sub_dim floats, trivially broadcastable."""
+    sample = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(md5_hash60_col(F.col("_id").cast("string")), F.col("_id"))
+        .limit(train_rows)
+        .collect()
+    )
+    mat = np.array([r["_v"] for r in sample], dtype=np.float64)
+    dim = mat.shape[1]
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    books = []
+    for j in range(m):
+        d = mat[:, j * sub : (j + 1) * sub]
+        cb = d[: min(k, len(d))].copy()
+        for _ in range(iters):
+            dist = (
+                (d * d).sum(1, keepdims=True)
+                - 2.0 * d @ cb.T
+                + (cb * cb).sum(1)[None, :]
+            )
+            assign = dist.argmin(1)
+            for c in range(len(cb)):
+                members = d[assign == c]
+                if len(members):
+                    cb[c] = members.mean(0)
+        books.append(cb)
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to m one-byte
+    codes (nearest codebook entry per subspace, L2). mapInPandas with
+    the broadcast codebooks — one numpy argmin per subspace per Arrow
+    batch, no shuffle; at 100 TB this turns a 256-byte float64 vector
+    into m bytes."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast([c.tolist() for c in codebooks])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = [np.asarray(c) for c in bc.value]
+        m = len(books)
+        sub = books[0].shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j, cb in enumerate(books):
+                d = mat[:, j * sub : (j + 1) * sub]
+                # ||x - c||² argmin via the dot-product expansion
+                dist = (
+                    (d * d).sum(1, keepdims=True)
+                    - 2.0 * d @ cb.T
+                    + (cb * cb).sum(1)[None, :]
+                )
+                codes[:, j] = dist.argmin(1)
+            yield pd.DataFrame(
+                {"_id": pdf[id_col], "codes": list(codes)}
+            ).rename(columns={"_id": id_col})
+
+    return vectors.mapInPandas(op, schema=f"{id_col} long, codes array<long>")
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    oversample: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: each query builds
+    one (m, k) lookup table of sub-space dot products against the
+    codebooks; a compressed vector's approximate similarity is m table
+    gathers — no decompression, no full-vector math. The query LUTs
+    broadcast (|queries| * m * k floats); the big codes table streams
+    through mapInPandas emitting per-batch candidates, and a window
+    keeps the global top-k per query. Output: (query_id, neighbor_id,
+    approx_dot, rank).
+
+    PQ approximates the INNER PRODUCT — for cosine search feed
+    unit-normalized vectors. rerank_with=the full vector table opts
+    into the production shortlist pattern: ADC retrieves
+    topk*oversample candidates per query, the (small) shortlist joins
+    its exact vectors and exact cosine re-ranks to topk — compressed
+    scan over the corpus, exact math only on the shortlist. Output
+    then carries `cosine` instead of `approx_dot`."""
+    spark = codes.sparkSession
+    q = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    qids = [r["_qid"] for r in q]
+    qmat = np.array([r["_qv"] for r in q], dtype=np.float64)
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    # LUT[q, j, c] = <query_q sub_j, codebook_j[c]>
+    lut = np.stack(
+        [qmat[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast((qids, lut.tolist()))
+    # each Arrow batch must surface the FULL shortlist size, not just
+    # topk — per-batch truncation at topk would starve the rerank
+    # shortlist whenever the codes table has few partitions
+    shortlist_k = topk * oversample if rerank_with is not None else topk
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, lut_ = bc.value
+        lut_ = np.asarray(lut_)  # (nq, m, k)
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            # scores[n, nq] = sum_j LUT[q, j, codes[n, j]]
+            scores = np.zeros((len(pdf), nq), dtype=np.float64)
+            for j in range(m):
+                scores += lut_[:, j, :][:, cmat[:, j]].T
+            ids = pdf[id_col].to_numpy()
+            kk = min(shortlist_k, len(ids))
+            rows = []
+            for qi in range(nq):
+                cand = np.argpartition(-scores[:, qi], kth=kk - 1)[:kk]
+                for ci in cand:
+                    if ids[ci] != qids_[qi]:
+                        rows.append(
+                            (qids_[qi], int(ids[ci]), round(float(scores[ci, qi]), 6))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "approx_dot"]
+            )
+
+    cand = codes.mapInPandas(
+        op, schema="query_id long, neighbor_id long, approx_dot double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist_k)
+    )
+    if rerank_with is None:
+        return shortlist
+    vecs = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    # query vectors come from the SMALL queries table (broadcastable);
+    # rerank_with is the full corpus and only serves neighbor lookups
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    exact = (
+        shortlist.drop("rank")
+        .join(vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("_qv"), F.col("_nv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= topk)
     )

@@ -152,3 +152,70 @@ def test_rotated_planes_beat_axis_on_correlated_dims(correlated_vectors):
     )
     assert r_rot >= 0.8  # prunes the join AND keeps the neighbors
     exact.unpersist()
+
+
+@pytest.fixture(scope="module")
+def unit_vectors(spark):
+    """Unit-normalized clustered vectors (PQ approximates the inner
+    product, so cosine search feeds unit vectors)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(CENTERS, DIM)) * 3.0
+    rows = []
+    for i in range(N):
+        v = centers[i % CENTERS] + rng.normal(size=DIM) * 0.4
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+    return df
+
+
+def test_pq_encode_shape_and_determinism(unit_vectors):
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(unit_vectors, m=8, k=16)
+    assert len(books) == 8 and all(b.shape == (16, DIM // 8) for b in books)
+    codes = pq_encode(unit_vectors, books)
+    rows = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert len(rows) == N
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in rows.values())
+    again = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(unit_vectors, books).collect()
+    }
+    assert again == rows  # deterministic at any parallelism
+
+
+def test_pq_adc_and_rerank_recall(unit_vectors):
+    """PQ behavior profile on clustered data: ADC alone identifies the
+    right CLUSTER for every retrieved neighbor (coarse codes cannot
+    order near-ties within a tight cluster — that is what the exact
+    rerank is for); ADC shortlist + exact rerank recovers the true
+    top-k (first honest run: same-cluster 1.0, rerank recall 0.92)."""
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    books = pq_codebooks(unit_vectors, m=8, k=16)
+    codes = pq_encode(unit_vectors, books).cache()
+    codes.count()
+    queries = unit_vectors.limit(20)
+    exact = brute_force_topk(unit_vectors, queries, k=K).cache()
+    exact.count()
+    adc = pq_topk(codes, queries, books, topk=K).collect()
+    same_cluster = sum(
+        1 for r in adc if r["neighbor_id"] % CENTERS == r["query_id"] % CENTERS
+    )
+    assert same_cluster == len(adc)
+    rr = pq_topk(
+        codes, queries, books, topk=K, rerank_with=unit_vectors, oversample=8
+    )
+    recall = rr.join(exact, ["query_id", "neighbor_id"], "inner").count() / exact.count()
+    assert recall >= 0.85
+    exact.unpersist()
+    codes.unpersist()
