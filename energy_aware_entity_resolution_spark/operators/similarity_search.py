@@ -411,6 +411,8 @@ def pq_codebooks(
         .limit(train_rows)
         .collect()
     )
+    if not sample:
+        raise ValueError("pq_codebooks: empty vector table")
     mat = np.array([r["_v"] for r in sample], dtype=np.float64)
     dim = mat.shape[1]
     sub = dim // m
@@ -503,6 +505,13 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
     ).collect()
+    if not q:  # no queries -> empty result with the right schema
+        out_schema = (
+            "query_id long, neighbor_id long, "
+            + ("cosine double" if rerank_with is not None else "approx_dot double")
+            + ", rank int"
+        )
+        return spark.createDataFrame([], out_schema)
     qids = [r["_qid"] for r in q]
     qmat = np.array([r["_qv"] for r in q], dtype=np.float64)
     m = len(codebooks)

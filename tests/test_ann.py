@@ -219,3 +219,22 @@ def test_pq_adc_and_rerank_recall(unit_vectors):
     assert recall >= 0.85
     exact.unpersist()
     codes.unpersist()
+
+
+def test_pq_degenerate_inputs(spark, unit_vectors):
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        pq_codebooks(empty, m=4, k=4)
+    books = pq_codebooks(unit_vectors, m=4, k=4)
+    codes = pq_encode(unit_vectors, books)
+    assert pq_topk(codes, empty, books, topk=3).count() == 0
+    assert (
+        pq_topk(codes, empty, books, topk=3, rerank_with=unit_vectors).count()
+        == 0
+    )
