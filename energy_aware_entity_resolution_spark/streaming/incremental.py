@@ -39,18 +39,42 @@ Decision semantics by config (W4):
   matches are pure append-only deltas and the component state is the
   merge-only remap ledger above.
 - GLOBAL configs (ratio test enabled or mutual_only) — a record's
-  decision reads its FULL neighborhood, so each round re-runs
-  decide_matches over the ACCUMULATED scored state (partition-pruned
-  read of scored_rounds ≤ b; the per-round read is O(accumulated), the
-  documented price of global semantics — writes stay deltas). Because
-  a record's best neighbor is monotone in (score desc, id asc) and s2
-  only grows as neighborhoods fill in, a pair's decision can flip
-  MATCH→non-match over time but never back, so the delta state is
-  ``matches/batch=N`` (adds) plus ``revoked/batch=N`` (at most one
-  revoke per pair, always after its add) and the current match set is
-  adds ⟕-anti revokes. Clustering in this mode recomputes connected
-  components from the current match set at read time (merge-only
-  remaps can't express revocation).
+  decision reads its FULL neighborhood, so new scored pairs can flip
+  decisions of EXISTING pairs. The re-decision is bounded to the
+  AFFECTED NEIGHBORHOOD, not the whole accumulated state: a pair's
+  decision is a function of its own score plus each endpoint's
+  directed (rank-1 / runner-up) view, and a directed view depends only
+  on that record's neighborhood — so only pairs incident to an
+  endpoint of this batch's new scored pairs (the ``affected`` set) can
+  change. Deciding those pairs needs the full neighborhoods of both
+  endpoints, i.e. the one-hop closure: re-run decide_matches over
+  pairs incident to (affected ∪ neighbors(affected)), then keep only
+  the decisions for pairs incident to ``affected`` and diff them
+  against the previous match set restricted to the same pair set.
+  Per-round decision COMPUTE is O(batch × avg-degree²) instead of
+  O(accumulated); the scored_rounds scan feeding the semi-joins is
+  still a columnar pass over the tree (3 columns), the remaining
+  read-side cost, documented in PLANS.md. Because a record's best
+  neighbor is monotone in (score desc, id asc) and s2 only grows as
+  neighborhoods fill in, a pair's decision can flip MATCH→non-match
+  over time but never back, so the delta state is ``matches/batch=N``
+  (adds) plus ``revoked/batch=N`` (at most one revoke per pair,
+  always after its add) and the current match set is adds ⟕-anti
+  revokes.
+
+  Clustering in this mode (merge-only remaps can't express
+  revocation) maintains a ``clusters/batch=N`` DELTA ledger: each
+  batch recomputes connected components only over the components
+  TOUCHED by its adds/revokes (prev components of their endpoints,
+  closed under membership — current match edges never cross an
+  untouched prev-component boundary, because a surviving edge's
+  endpoints shared a prev component and an added edge's endpoints are
+  touched by definition) and appends the region's new assignments;
+  the current clustering is, per conv_id, the latest batch's
+  assignment, with never-assigned ids as singletons. Untouched
+  components keep their exact member set and internal edges, so their
+  min-member component_id is unchanged and the merged view equals a
+  full CC recompute (tested against the single-shot batch run).
 """
 
 from __future__ import annotations
@@ -59,6 +83,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from energy_aware_entity_resolution_spark.config import PipelineConfig
 from energy_aware_entity_resolution_spark.operators.assemble import (
@@ -301,7 +326,10 @@ def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
 
     Global-decision state (a ``revoked`` dir exists) carries no remap
     ledger — merge-only remaps can't express revocation — so clusters
-    recompute connected components from the CURRENT match set.
+    read the per-batch ``clusters`` DELTA ledger instead (latest
+    assignment per conv_id; see _cluster_delta_step). Legacy global
+    state without that ledger falls back to a full CC recompute over
+    the current match set.
 
     Every read is bounded to COMMITTED batches (done marker written):
     a crashed or concurrently-running batch's partial files — features
@@ -315,6 +343,14 @@ def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     )
     rev_path = os.path.join(state_dir, "revoked")
     if os.path.isdir(rev_path):
+        if os.path.isdir(os.path.join(state_dir, "clusters")):
+            assign = _cluster_assignments(spark, state_dir, last)
+            return all_ids.join(assign, "conv_id", "left").select(
+                "conv_id",
+                F.coalesce("component_id", F.col("conv_id")).alias(
+                    "component_id"
+                ),
+            )
         edges = accumulated_matches(spark, state_dir, upto_batch=last).select(
             F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
         )
@@ -339,6 +375,100 @@ def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
 def _is_global_mode(cfg: PipelineConfig) -> bool:
     """True when decisions read full neighborhoods (module docstring)."""
     return cfg.scoring.ratio_threshold != 1.0 or cfg.scoring.mutual_only
+
+
+def _endpoints(pairs: DataFrame) -> DataFrame:
+    """Distinct conv_ids appearing on either side of the pair table."""
+    return pairs.select(
+        F.explode(F.array("conv_id_a", "conv_id_b")).alias("conv_id")
+    ).distinct()
+
+
+def _pairs_incident(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Rows of ``pairs`` with at least one endpoint in ``nodes``.
+
+    Disjoint union of a-side hits and b-side-only hits (left_anti on
+    the a-side) — the OR-semantics semi-join without a dedup shuffle
+    of the pair payload. ``nodes`` scales with the batch, not the
+    state, so these are ordinary shuffle joins (no broadcast hint: at
+    100 TB a batch's neighborhood need not fit one executor)."""
+    na = nodes.select(F.col("conv_id").alias("conv_id_a"))
+    nb = nodes.select(F.col("conv_id").alias("conv_id_b"))
+    a_hit = pairs.join(na, "conv_id_a", "left_semi")
+    b_only = pairs.join(nb, "conv_id_b", "left_semi").join(
+        na, "conv_id_a", "left_anti"
+    )
+    return a_hit.unionByName(b_only)
+
+
+def _cluster_assignments(
+    spark: SparkSession, state_dir: str, upto_batch: int
+) -> DataFrame:
+    """Current (conv_id, component_id) view of the global-mode cluster
+    DELTA ledger: per conv_id, the latest batch's assignment wins.
+    One columnar scan of the delta tree + one window — never a CC
+    recompute."""
+    df = (
+        spark.read.parquet(os.path.join(state_dir, "clusters"))
+        .where(F.col("batch") <= upto_batch)
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("batch"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("conv_id", "component_id")
+    )
+
+
+def _cluster_delta_step(
+    spark: SparkSession, state_dir: str, b: int, cfg: PipelineConfig
+) -> None:
+    """Global-mode incremental clustering (module docstring): recompute
+    connected components ONLY over the components touched by this
+    batch's adds/revokes and append the region's assignments to the
+    ``clusters/batch=N`` delta ledger. Closure argument: current match
+    edges never cross an untouched prev-component boundary (surviving
+    edges' endpoints shared a prev component; added edges' endpoints
+    are touched), so the recomputed region is edge-closed and untouched
+    components keep their exact membership and min-member id."""
+    adds = spark.read.parquet(os.path.join(state_dir, "matches", f"batch={b}"))
+    revoked = spark.read.parquet(
+        os.path.join(state_dir, "revoked", f"batch={b}")
+    )
+    touched = (
+        _endpoints(adds.select("conv_id_a", "conv_id_b"))
+        .unionByName(_endpoints(revoked.select("conv_id_a", "conv_id_b")))
+        .distinct()
+    )
+    if b > 0:
+        prev = _cluster_assignments(spark, state_dir, b - 1)
+        t_comps = (
+            touched.join(prev, "conv_id", "left")
+            .select(
+                F.coalesce("component_id", F.col("conv_id")).alias(
+                    "component_id"
+                )
+            )
+            .distinct()
+        )
+        members = prev.join(t_comps, "component_id", "left_semi").select(
+            "conv_id"
+        )
+        region_ids = members.unionByName(touched).distinct()
+    else:
+        region_ids = touched
+    cur = accumulated_matches(spark, state_dir, upto_batch=b)
+    edges = _pairs_incident(
+        cur.select("conv_id_a", "conv_id_b"), region_ids
+    ).select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst"))
+    comp = connected_components(edges, max_iterations=cfg.cluster.max_iterations)
+    assign = region_ids.join(comp, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
+    )
+    assign.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "clusters", f"batch={b}")
+    )
 
 
 def accumulated_matches(
@@ -556,21 +686,39 @@ def process_one_batch(
     # previous match set (adds + at-most-one revoke per pair —
     # module docstring).
     if global_mode:
-        acc_scored = (
-            spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
-            .where(F.col("round") <= b)
-            .drop("round")
-        )
-        full = decide_matches(acc_scored, cfg)
         keys = ["conv_id_a", "conv_id_b"]
+        delta = spark.read.parquet(
+            os.path.join(state_dir, "scored_rounds", f"round={b}")
+        )
         if b > 0:  # any earlier batch (fresh or resumed) wrote state
-            prev = accumulated_matches(spark, state_dir, upto_batch=b - 1)
-            adds = full.join(prev.select(*keys), keys, "left_anti")
+            # AFFECTED-NEIGHBORHOOD re-decision (module docstring):
+            # only pairs incident to this batch's new scored pairs can
+            # flip; deciding them needs both endpoints' full
+            # neighborhoods, i.e. pairs incident to the one-hop
+            # closure. decide_matches runs over that region — compute
+            # bounded by the batch's neighborhood, never the
+            # accumulated state — and the diff against the previous
+            # match set is restricted to the same affected pair set.
+            acc = (
+                spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
+                .where(F.col("round") <= b)
+                .drop("round")
+            )
+            affected = _endpoints(delta.select(*keys))
+            incident = _pairs_incident(acc, affected)
+            frontier = _endpoints(incident.select(*keys))
+            region = _pairs_incident(acc, frontier)
+            decided = _pairs_incident(decide_matches(region, cfg), affected)
+            prev = _pairs_incident(
+                accumulated_matches(spark, state_dir, upto_batch=b - 1),
+                affected,
+            )
+            adds = decided.join(prev.select(*keys), keys, "left_anti")
             revoked = prev.select(*keys).join(
-                full.select(*keys), keys, "left_anti"
+                decided.select(*keys), keys, "left_anti"
             )
         else:
-            adds = full
+            adds = decide_matches(delta, cfg)
             revoked = spark.createDataFrame(
                 [], "conv_id_a string, conv_id_b string"
             )
@@ -580,6 +728,7 @@ def process_one_batch(
         revoked.write.mode("overwrite").parquet(
             os.path.join(state_dir, "revoked", f"batch={b}")
         )
+        _cluster_delta_step(spark, state_dir, b, cfg)
     else:
         new_matches = decide_matches(scored, cfg)
         new_matches.write.mode("overwrite").parquet(

@@ -127,6 +127,97 @@ def test_incremental_matches_batch_global_configs(spark, transcripts, tmp_path):
     assert got == want
 
 
+def test_global_mode_rereads_bounded_by_neighborhood(spark, tmp_path, monkeypatch):
+    """The O(T²) gate for W4 GLOBAL configs: each batch's re-decision
+    must run over pairs incident to the batch's affected neighborhood
+    only — never the whole accumulated scored tree — and the cluster
+    delta ledger must write only the touched region. Fixture: two
+    vocab-disjoint communities; batch 2 introduces community B, so its
+    re-decision must not read a single community-A pair, while the
+    final state still equals the single-shot batch run."""
+    from datetime import datetime
+
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+        process_one_batch,
+        resolve_clusters,
+    )
+
+    def mk_rows(prefix, vocab, ids):
+        rows = []
+        for i in ids:
+            for t in range(3):
+                rows.append(
+                    (f"{prefix}{i}", t, "user", f"{vocab} turn text",
+                     None, datetime(2026, 1, 1, 0, 0, t))
+                )
+        return rows
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    voc_a = "alpha beta gamma delta epsilon zeta"
+    voc_b = "omega sigma upsilon kappa lambda xi"
+    batches = [
+        mk_rows("a", voc_a, range(4)),          # batch 0: A0..A3
+        mk_rows("a", voc_a, range(4, 6)),       # batch 1: A4..A5
+        mk_rows("b", voc_b, range(6)),          # batch 2: all of B
+    ]
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "state_bounded")
+
+    captured = []
+    real_decide = inc.decide_matches
+
+    def spy(scored, c):
+        captured.append(
+            {(r["conv_id_a"], r["conv_id_b"]) for r in scored.collect()}
+        )
+        return real_decide(scored, c)
+
+    monkeypatch.setattr(inc, "decide_matches", spy)
+    for b, rows in enumerate(batches):
+        process_one_batch(
+            spark, spark.createDataFrame(rows, schema), cfg, state, b
+        )
+    monkeypatch.undo()
+
+    assert len(captured) == 3
+    # batch 2's re-decision region: only community-B pairs
+    b2_ids = {cid for pair in captured[2] for cid in pair}
+    assert b2_ids and all(cid.startswith("b") for cid in b2_ids)
+    # ... and strictly fewer pairs than the accumulated scored tree
+    acc_total = spark.read.parquet(f"{state}/scored_rounds").count()
+    assert len(captured[2]) < acc_total
+    # cluster delta ledger: batch 2 writes only the touched (B) region
+    cl2 = spark.read.parquet(f"{state}/clusters/batch=2")
+    cl2_ids = {r["conv_id"] for r in cl2.select("conv_id").collect()}
+    assert cl2_ids and all(cid.startswith("b") for cid in cl2_ids)
+
+    # equivalence with the single-shot batch run on the full input
+    all_rows = [r for rows in batches for r in rows]
+    full = run_pipeline(spark.createDataFrame(all_rows, schema), cfg)
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    want = {(r["conv_id_a"], r["conv_id_b"]) for r in full.matches.collect()}
+    assert got == want
+    assert _cluster_sets(resolve_clusters(spark, state)) == _cluster_sets(
+        full.clusters
+    )
+    full.release()
+
+
 def test_remap_distributed_resolution_no_driver_collect(spark, tmp_path, monkeypatch):
     """>10⁵ merge records resolved WITHOUT a driver collect: the
     distributed pointer-jumping path must produce exactly the driver
