@@ -81,6 +81,14 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     deduped by candidate_pairs' terminal groupBy — pairs sharing
     several bands emit once per band here; an extra dropDuplicates
     would be one more full shuffle of the largest intermediate.
+
+    INPUT CONTRACT: ``bands`` must hold exactly one row per
+    (conv_id, band_id, band_hash) — lsh_bands emits exactly that. The
+    pre-cap counts ROWS while pair generation collects DISTINCT ids;
+    duplicated band rows would misclassify cap-boundary bands (dropping
+    a legal band or passing an oversize one) — a silent recall loss,
+    not an error. Callers feeding hand-built band tables must
+    dropDuplicates(["band_id", "band_hash", "conv_id"]) first.
     """
     max_block = cfg.blocking.max_block_size
     counts = bands.groupBy("band_id", "band_hash").agg(

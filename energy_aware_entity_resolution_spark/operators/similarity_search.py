@@ -382,6 +382,14 @@ def block_topk_applyinpandas(
 
 
 # ------------------------------------------------------------------ PQ
+# Driver guards for pq_topk's query-side collect — same adaptivity
+# principle as the remap/CC driver fast paths: the LUT build is
+# driver-side by design (broadcast), so an oversized query table must
+# fail fast, not OOM.
+_PQ_QUERY_MAX_ROWS = 100_000
+_PQ_QUERY_MAX_BYTES = 256 * 1024 * 1024
+
+
 def pq_codebooks(
     vectors: DataFrame,
     m: int = 8,
@@ -500,11 +508,37 @@ def pq_topk(
     topk*oversample candidates per query, the (small) shortlist joins
     its exact vectors and exact cosine re-ranks to topk — compressed
     scan over the corpus, exact math only on the shortlist. Output
-    then carries `cosine` instead of `approx_dot`."""
+    then carries `cosine` instead of `approx_dot`.
+
+    CONTRACT: queries must be driver-collectable — the LUTs broadcast
+    from the driver (same contract as brute_force_topk's broadcast
+    side). Guarded like the remap/CC driver paths: above
+    _PQ_QUERY_MAX_ROWS rows or ~_PQ_QUERY_MAX_BYTES of vector bytes
+    the call raises immediately instead of silently OOMing the driver;
+    split the query table or use bucketed/ivf search for query sets
+    that large."""
     spark = codes.sparkSession
-    q = queries.select(
-        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
-    ).collect()
+    q = (
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .limit(_PQ_QUERY_MAX_ROWS + 1)
+        .collect()
+    )
+    if len(q) > _PQ_QUERY_MAX_ROWS:
+        raise ValueError(
+            f"pq_topk: queries table exceeds {_PQ_QUERY_MAX_ROWS} rows — "
+            "the per-query ADC LUTs are driver-built and broadcast, so "
+            "the query side must be small. Split the query table into "
+            "chunks or use bucketed_topk/ivf_topk for large query sets."
+        )
+    if q:
+        probe = q[:1000]
+        avg = sum(8 * len(r["_qv"]) for r in probe) / len(probe)
+        if avg * len(q) > _PQ_QUERY_MAX_BYTES:
+            raise ValueError(
+                f"pq_topk: queries table exceeds ~{_PQ_QUERY_MAX_BYTES} "
+                "vector bytes — the driver-built LUTs would not be safely "
+                "broadcastable. Split the query table into chunks."
+            )
     if not q:  # no queries -> empty result with the right schema
         out_schema = (
             "query_id long, neighbor_id long, "
@@ -540,7 +574,11 @@ def pq_topk(
             for j in range(m):
                 scores += lut_[:, j, :][:, cmat[:, j]].T
             ids = pdf[id_col].to_numpy()
-            kk = min(shortlist_k, len(ids))
+            # +1: a corpus query's own row always ranks first (dot with
+            # itself) and is filtered below — without the extra slot it
+            # would consume one shortlist position and a single-partition
+            # no-rerank search would return topk-1 neighbors
+            kk = min(shortlist_k + 1, len(ids))
             rows = []
             for qi in range(nq):
                 cand = np.argpartition(-scores[:, qi], kth=kk - 1)[:kk]

@@ -601,8 +601,12 @@ def epoch_already_processed(state_dir: str, epoch_marker: str) -> bool:
     re-ingest the same records under a fresh batch id (duplicated
     scored pairs make every affected pair its own runner-up, so a
     global-mode ratio test would silently revoke genuine matches).
-    Marker content = str(epoch_id) keys the dedup; run_incremental's
-    'ok' markers never collide with numeric epoch ids."""
+    Marker content keys the dedup — ``md5(checkpoint_dir):epoch_id``
+    when the caller scopes it (make_process_batch run_scope; epoch ids
+    restart at 0 per checkpoint location, so an unscoped marker would
+    make a NEW query over the same state skip its first batches), bare
+    str(epoch_id) otherwise; run_incremental's 'ok' markers never
+    collide with either."""
     done_dir = os.path.join(state_dir, "done")
     if not os.path.isdir(done_dir):
         return False

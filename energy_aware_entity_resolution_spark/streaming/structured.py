@@ -155,7 +155,10 @@ def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
 
 
 def make_process_batch(
-    cfg: PipelineConfig, state_dir: str, scored_snapshots: bool = True
+    cfg: PipelineConfig,
+    state_dir: str,
+    scored_snapshots: bool = True,
+    run_scope: str | None = None,
 ):
     """Build the foreachBatch callable (exposed so tests can drive
     replay semantics directly): one micro-batch = one incremental
@@ -171,22 +174,40 @@ def make_process_batch(
     detected by its marker content and skipped — without this, the
     replay would re-ingest the same records under a fresh batch id and
     the duplicated scored pairs would make a global-mode ratio test
-    revoke genuine matches (each pair becomes its own runner-up)."""
+    revoke genuine matches (each pair becomes its own runner-up).
+
+    run_scope scopes the replay guard to ONE checkpointed query: epoch
+    ids restart at 0 for every fresh checkpoint location, so a marker
+    keyed on the epoch id alone would make a NEW query over the same
+    state_dir silently skip its first batches (they collide with old
+    markers). Pass the query's checkpoint_dir (stream_incremental_er
+    does) — the marker is then ``md5(run_scope):epoch_id``, unique per
+    (checkpoint, epoch). None keeps the bare epoch key for single-query
+    callers (tests driving the callable directly)."""
+    import hashlib
+
     from energy_aware_entity_resolution_spark.streaming.incremental import (
         epoch_already_processed,
         last_complete_batch,
         process_one_batch,
     )
 
+    scope = (
+        hashlib.md5(run_scope.encode()).hexdigest()[:12] + ":"
+        if run_scope
+        else ""
+    )
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if epoch_already_processed(state_dir, str(epoch_id)):
-            return  # replayed epoch: state already committed
+        marker = f"{scope}{epoch_id}"
+        if epoch_already_processed(state_dir, marker):
+            return  # replayed epoch of THIS query: already committed
         b = last_complete_batch(state_dir) + 1
         process_one_batch(
             batch_df.sparkSession, batch_df, cfg, state_dir, b,
-            marker_text=str(epoch_id),
+            marker_text=marker,
             scored_snapshots=scored_snapshots,
         )
 
@@ -206,7 +227,9 @@ def stream_incremental_er(
     """
     return (
         stream.writeStream.foreachBatch(
-            make_process_batch(cfg, state_dir, scored_snapshots)
+            make_process_batch(
+                cfg, state_dir, scored_snapshots, run_scope=checkpoint_dir
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

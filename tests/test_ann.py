@@ -221,6 +221,46 @@ def test_pq_adc_and_rerank_recall(unit_vectors):
     codes.unpersist()
 
 
+def test_pq_self_row_does_not_consume_shortlist_slot(unit_vectors):
+    """A corpus query's own row always ranks first in ADC (dot with
+    itself) and is filtered out — it must not consume a shortlist
+    slot: with the codes in ONE partition and no rerank, each query
+    must still get exactly topk neighbors, not topk-1."""
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    books = pq_codebooks(unit_vectors, m=4, k=16)
+    codes = pq_encode(unit_vectors, books).coalesce(1)
+    queries = unit_vectors.limit(5)
+    per_query = (
+        pq_topk(codes, queries, books, topk=K)
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert len(per_query) == 5
+    assert all(r["count"] == K for r in per_query)
+
+
+def test_pq_query_collect_guard(spark, unit_vectors, monkeypatch):
+    """The driver-side LUT build must fail fast on an oversized query
+    table (row guard) instead of OOMing the driver."""
+    import energy_aware_entity_resolution_spark.operators.similarity_search as ss
+
+    books = ss.pq_codebooks(unit_vectors, m=4, k=4)
+    codes = ss.pq_encode(unit_vectors, books)
+    monkeypatch.setattr(ss, "_PQ_QUERY_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="queries table exceeds"):
+        ss.pq_topk(codes, unit_vectors, books, topk=3)
+    monkeypatch.setattr(ss, "_PQ_QUERY_MAX_ROWS", 100_000)
+    monkeypatch.setattr(ss, "_PQ_QUERY_MAX_BYTES", 64)
+    with pytest.raises(ValueError, match="vector bytes"):
+        ss.pq_topk(codes, unit_vectors, books, topk=3)
+
+
 def test_pq_degenerate_inputs(spark, unit_vectors):
     from energy_aware_entity_resolution_spark.operators.similarity_search import (
         pq_codebooks,

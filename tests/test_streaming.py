@@ -350,6 +350,32 @@ def test_foreachbatch_epoch_replay_is_idempotent(spark, transcripts, tmp_path):
     assert last_complete_batch(state) == 1
 
 
+def test_replay_guard_scoped_to_checkpointed_query(spark, transcripts, tmp_path):
+    """Epoch ids restart at 0 per checkpoint location: a NEW query
+    (fresh checkpoint_dir) over the same state_dir must NOT skip its
+    epoch 0 just because an old query committed an epoch 0 — the
+    replay guard is keyed on (checkpoint scope, epoch). A replay
+    within ONE scope is still skipped."""
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        last_complete_batch,
+    )
+    from energy_aware_entity_resolution_spark.streaming.structured import (
+        make_process_batch,
+    )
+
+    cfg = PipelineConfig()
+    state = str(tmp_path / "scoped_state")
+    q1 = make_process_batch(cfg, state, run_scope=str(tmp_path / "ckpt1"))
+    q1(transcripts, epoch_id=0)
+    assert last_complete_batch(state) == 0
+    q1(transcripts, epoch_id=0)  # same-scope replay: skipped
+    assert last_complete_batch(state) == 0
+    # a fresh query (new checkpoint) restarts epochs at 0 — must RUN
+    q2 = make_process_batch(cfg, state, run_scope=str(tmp_path / "ckpt2"))
+    q2(transcripts, epoch_id=0)
+    assert last_complete_batch(state) == 1
+
+
 def test_stream_threshold_mode_snapshot_opt_out(spark, transcripts, tmp_path):
     """scored_snapshots=False: the lean threshold-mode stream skips the
     widest-intermediate write entirely and still converges."""
