@@ -55,7 +55,7 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_ER_CONVS", "240000"))
 N_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 N_QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
 PREV_BENCH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_r03_summary.json"
 )
 
 BENCH_QUERIES = [
@@ -357,7 +357,25 @@ def main() -> None:
     }
     out["regression_vs_prev"] = _regression(out)
     _write_bench_md(out)
-    print(json.dumps(out))
+    # Full detail (raw per-rep run lists, per-query samples) goes to
+    # BENCH_full.json + BENCH.md; stdout's LAST line is a COMPACT
+    # medians-only JSON so the driver's bounded tail capture always
+    # parses it (round 3's full line overflowed it -> parsed: null).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+        json.dump(out, f)
+    compact = {
+        k: v
+        for k, v in out.items()
+        if k not in ("scaling", "query_raw_samples")
+    }
+    s = out["scaling"]
+    compact["scaling"] = {
+        k: v
+        for k, v in s.items()
+        if k not in ("per_rep", "raw_runs", "protocol")
+    }
+    print(json.dumps(compact))
 
 
 def _regression(out: dict) -> dict | None:
