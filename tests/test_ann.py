@@ -221,6 +221,55 @@ def test_pq_adc_and_rerank_recall(unit_vectors):
     codes.unpersist()
 
 
+def test_ivf_pq_cell_pruned_scan_and_recall(unit_vectors):
+    """IVF-PQ composition (the FAISS billion-vector layout): the ADC
+    scan must touch strictly fewer candidate codes than flat PQ
+    (cell-pruned inverted lists), and once nprobe covers the true
+    neighbors' cells (3 of 8 here — nprobe=2 measured 0.88 vs flat
+    0.91: cosine neighbors cross cell boundaries) the reranked recall
+    must be at least flat PQ's at the same oversample, with under half
+    the scanned codes."""
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_pq_candidates,
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    NQ = 20
+    books = pq_codebooks(unit_vectors, m=8, k=16)
+    codes = pq_encode(unit_vectors, books).cache()
+    codes.count()
+    cents = ivf_centroids(unit_vectors, CENTERS)
+    queries = unit_vectors.limit(NQ)
+
+    owned = ivf_assign(unit_vectors, centroids=cents)
+    probes = ivf_assign(queries, centroids=cents, nprobe=3)
+    n_scanned = ivf_pq_candidates(codes, owned, probes).count()
+    # flat ADC scans every code for every query; the inverted lists
+    # must cut that by at least half at nprobe=3/8
+    assert 0 < n_scanned < 0.5 * NQ * (N - 1)
+
+    exact = brute_force_topk(unit_vectors, queries, k=K).cache()
+    exact.count()
+    ivfpq = ivf_pq_topk(
+        unit_vectors, queries, books, topk=K, centroids=cents, nprobe=3,
+        codes=codes, rerank_with=unit_vectors, oversample=8,
+    )
+    flat = pq_topk(
+        codes, queries, books, topk=K, rerank_with=unit_vectors, oversample=8
+    )
+    r_ivfpq = _recall(ivfpq, exact)
+    r_flat = _recall(flat, exact)
+    assert r_ivfpq >= r_flat
+    assert r_ivfpq >= 0.85
+    exact.unpersist()
+    codes.unpersist()
+
+
 def test_pq_self_row_does_not_consume_shortlist_slot(unit_vectors):
     """A corpus query's own row always ranks first in ADC (dot with
     itself) and is filtered out — it must not consume a shortlist
