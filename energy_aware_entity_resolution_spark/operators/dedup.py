@@ -340,3 +340,37 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dup_pairs_multipass(
+    vectors: DataFrame,
+    rotation_seeds: list[int],
+    threshold: float = 0.9,
+    n_bits: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-pass rotated-LSH near-dup: union of verified pairs across
+    n independent rotation seeds — the "more verification passes"
+    recall lever the single-pass docstring names, made concrete.
+
+    A boundary pair split by one rotation's hyperplanes collides under
+    another with independent probability, so recall is monotone in the
+    number of passes (1 - miss_rate^n for independent rotations) while
+    each pass stays one bucket equi-join — the union NEVER becomes a
+    cross join. Verified pairs are exact-cosine-checked, so extra
+    passes add recall without any precision cost; the final
+    dropDuplicates removes pairs caught by several passes (keyed dedup
+    of an already-verified, threshold-pruned pair set — small)."""
+    if not rotation_seeds:
+        raise ValueError("embedding_near_dup_pairs_multipass: no seeds")
+    passes = [
+        embedding_near_dup_pairs(
+            vectors, threshold, n_bits, id_col, vec_col, rotation_seed=s
+        )
+        for s in rotation_seeds
+    ]
+    out = passes[0]
+    for p in passes[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])

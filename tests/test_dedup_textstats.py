@@ -260,3 +260,43 @@ def test_embedding_near_dup_pairs_properties(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(40)}
     # twins share signs except hairline boundary cases -> high recall
     assert len(planted & set(pairs)) >= 35
+
+
+def test_embedding_near_dup_multipass_recall_monotone(spark):
+    """Multi-pass rotated LSH on a correlated-dimension fixture
+    (all-positive orthant — the case where any single rotation splits
+    some boundary twins): union of verified pairs across rotation
+    seeds must be monotone in passes, strictly better than the worst
+    single pass, and reach near-full recall of the planted twins —
+    with precision 1.0 throughout (pairs are exact-cosine verified)."""
+    import numpy as np
+
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        embedding_near_dup_pairs_multipass,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        base = np.abs(rng.normal(size=8)) + 0.3  # correlated: all positive
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append(
+            (2 * i + 1, [float(x) for x in base + rng.normal(size=8) * 0.1])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    seeds = [11, 22, 33, 44]
+    recalls = []
+    for n in range(1, len(seeds) + 1):
+        got = embedding_near_dup_pairs_multipass(
+            df, seeds[:n], threshold=0.97, n_bits=10
+        ).collect()
+        pairs = {(r["vec_id_a"], r["vec_id_b"]) for r in got}
+        assert all(r["cosine"] >= 0.97 for r in got)  # verified: no fp
+        recalls.append(len(planted & pairs) / len(planted))
+    # tuned so a single pass genuinely splits boundary twins (measured
+    # 0.733 -> 0.9 -> 0.983 -> 1.0): the growth is real, not flat-1.0
+    assert recalls[0] < 0.9
+    assert recalls == sorted(recalls)  # monotone in passes
+    assert recalls[-1] > recalls[0]
+    assert recalls[-1] >= 0.95
