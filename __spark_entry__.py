@@ -318,6 +318,62 @@ def _rotated_bucket_sql() -> str:
     )
 
 
+# multi-pass rotated near-dup gate constants (seeds share the rotated
+# bucket oracle's plane-regeneration contract above)
+MP_SEEDS, MP_BITS, MP_THR = (5, 6), 4, 0.3
+
+
+def _q_embedding_near_dup_multipass(spark, sf_dir):
+    """Multi-pass rotated-LSH near-dup over the embeddings table:
+    union of exact-cosine-verified pairs across two rotation seeds
+    (dedup.embedding_near_dup_pairs_multipass) — the recall lever for
+    correlated-dimension embeddings; single-seed coverage on this data
+    is 113 pairs, the two-seed union 230."""
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        embedding_near_dup_pairs_multipass,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_multipass(
+        emb, list(MP_SEEDS), threshold=MP_THR, n_bits=MP_BITS
+    ).select("vec_id_a", "vec_id_b", "cosine")
+
+
+def _near_dup_multipass_sql() -> str:
+    """DuckDB twin: regenerate both seeds' planes (literal
+    coefficients, same repr roundtrip as _rotated_bucket_sql), bucket
+    per pass, verify cosine within buckets, UNION the passes and keep
+    each pair once."""
+    import numpy as np
+
+    passes = []
+    for seed in MP_SEEDS:
+        planes = np.random.RandomState(seed).standard_normal((MP_BITS, EMB_DIM))
+        bits = []
+        for j in range(MP_BITS):
+            dot = " + ".join(
+                f"(embedding[{i + 1}]::DOUBLE * {float(planes[j, i])!r})"
+                for i in range(EMB_DIM)
+            )
+            bits.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << j} ELSE 0 END)")
+        bk = (
+            "(SELECT vec_id, embedding, (" + " + ".join(bits)
+            + ") AS bucket FROM embeddings)"
+        )
+        passes.append(
+            f"""SELECT vec_id_a, vec_id_b, cosine FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM {bk} a JOIN {bk} b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cosine >= {MP_THR}"""
+        )
+    return (
+        "SELECT DISTINCT vec_id_a, vec_id_b, cosine FROM ("
+        + " UNION ALL ".join(passes)
+        + ")"
+    )
+
+
 def _q_ivf_cells(spark, sf_dir):
     """IVF coarse quantization: vector -> nearest centroid. Centroids
     are the deterministic hash-ordered sample (ivf_centroids iters=0)."""
@@ -672,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_matches": _q_er_matches,
         "er_eval_grid": _q_er_eval_grid,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
+        "embedding_near_dup_multipass": _q_embedding_near_dup_multipass,
         "er_score_hist": _q_er_score_hist,
     }
 
@@ -1454,5 +1511,6 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters": _er_clusters_sql(),
         "er_eval_grid": _er_eval_grid_sql(),
         "embedding_near_dup_pairs": _embedding_near_dup_sql(),
+        "embedding_near_dup_multipass": _near_dup_multipass_sql(),
         "er_score_hist": _er_score_hist_sql(),
     }
