@@ -439,9 +439,14 @@ def _cluster_delta_step(
         _endpoints(adds.select("conv_id_a", "conv_id_b"))
         .unionByName(_endpoints(revoked.select("conv_id_a", "conv_id_b")))
         .distinct()
+        .localCheckpoint(eager=True)  # batch-sized; read by 3 branches
     )
+    prev = None
     if b > 0:
-        prev = _cluster_assignments(spark, state_dir, b - 1)
+        # lazy persist: region_ids' eager checkpoint below is the one
+        # action over both prev references (t_comps feeds members
+        # sequentially), so the assignment window computes once
+        prev = _cluster_assignments(spark, state_dir, b - 1).persist()
         t_comps = (
             touched.join(prev, "conv_id", "left")
             .select(
@@ -457,6 +462,9 @@ def _cluster_delta_step(
         region_ids = members.unionByName(touched).distinct()
     else:
         region_ids = touched
+    region_ids = region_ids.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
     cur = accumulated_matches(spark, state_dir, upto_batch=b)
     edges = _pairs_incident(
         cur.select("conv_id_a", "conv_id_b"), region_ids
@@ -703,20 +711,32 @@ def process_one_batch(
             # bounded by the batch's neighborhood, never the
             # accumulated state — and the diff against the previous
             # match set is restricted to the same affected pair set.
+            # Each intermediate is eagerly localCheckpointed: the
+            # nested semi-join chains reference their upstream several
+            # times (a/b branches, window + direct decision branches,
+            # adds + revokes), so un-truncated lineage recomputes the
+            # whole chain per reference — measured 30 s -> 112 s
+            # between batches 0 and 1 at 240k convs before truncation.
+            # Checkpoint sizes are all ∝ the batch neighborhood.
             acc = (
                 spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
                 .where(F.col("round") <= b)
                 .drop("round")
             )
-            affected = _endpoints(delta.select(*keys))
-            incident = _pairs_incident(acc, affected)
-            frontier = _endpoints(incident.select(*keys))
-            region = _pairs_incident(acc, frontier)
-            decided = _pairs_incident(decide_matches(region, cfg), affected)
+            affected = _endpoints(delta.select(*keys)).localCheckpoint(
+                eager=True
+            )
+            frontier = _endpoints(
+                _pairs_incident(acc, affected).select(*keys)
+            ).localCheckpoint(eager=True)
+            region = _pairs_incident(acc, frontier).localCheckpoint(eager=True)
+            decided = _pairs_incident(
+                decide_matches(region, cfg), affected
+            ).localCheckpoint(eager=True)
             prev = _pairs_incident(
                 accumulated_matches(spark, state_dir, upto_batch=b - 1),
                 affected,
-            )
+            ).localCheckpoint(eager=True)
             adds = decided.join(prev.select(*keys), keys, "left_anti")
             revoked = prev.select(*keys).join(
                 decided.select(*keys), keys, "left_anti"
