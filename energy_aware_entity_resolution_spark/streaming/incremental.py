@@ -51,10 +51,16 @@ Decision semantics by config (W4):
   pairs incident to (affected ∪ neighbors(affected)), then keep only
   the decisions for pairs incident to ``affected`` and diff them
   against the previous match set restricted to the same pair set.
-  Per-round decision COMPUTE is O(batch × avg-degree²) instead of
-  O(accumulated); the scored_rounds scan feeding the semi-joins is
-  still a columnar pass over the tree (3 columns), the remaining
-  read-side cost, documented in PLANS.md. Because a record's best
+  ADAPTIVE (measured crossover): while the accumulated tree is small
+  relative to the batch (≤ _FULL_REDECIDE_MAX_RATIO ×), a single
+  decide_matches window over the whole tree is cheaper than the
+  restriction machinery and runs instead — identical output, fewer
+  barriers. Above it, the neighborhood path broadcasts its node sets
+  (guarded by _BROADCAST_NODES_MAX) so the accumulated tree is only
+  ever SCANNED map-side (columnar, 3 columns), never shuffled; the
+  re-decision window then shuffles only the closure region —
+  per-round decision COMPUTE O(batch × avg-degree²) instead of
+  O(accumulated). Because a record's best
   neighbor is monotone in (score desc, id asc) and s2 only grows as
   neighborhoods fill in, a pair's decision can flip MATCH→non-match
   over time but never back, so the delta state is ``matches/batch=N``
@@ -384,16 +390,39 @@ def _endpoints(pairs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def _pairs_incident(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+# Adaptive thresholds for the global-mode re-decision (measured at 240k
+# convs / 4 batches, this VM):
+# - below _FULL_REDECIDE_MAX_RATIO × batch-delta rows of accumulated
+#   scored state, ONE decide_matches window over the whole tree beats
+#   the neighborhood machinery — the restriction's semi-joins would
+#   shuffle the same accumulated rows MORE times than the single
+#   window does (measured 91 s vs 32 s per batch).
+# - the neighborhood path only pays off when its node sets broadcast
+#   (map-side semi filters — the accumulated tree is scanned, never
+#   shuffled); _BROADCAST_NODES_MAX caps the driver/executor memory a
+#   broadcast node set may take (~40 MB of ids at 2M rows). A batch
+#   whose closure exceeds it falls back to shuffle semi-joins, which
+#   are still O(acc shuffle) — but a batch that large means acc/batch
+#   is small, which the ratio gate already routes to the full path.
+_FULL_REDECIDE_MAX_RATIO = 8.0
+_BROADCAST_NODES_MAX = 2_000_000
+
+
+def _pairs_incident(
+    pairs: DataFrame, nodes: DataFrame, small_nodes: bool = False
+) -> DataFrame:
     """Rows of ``pairs`` with at least one endpoint in ``nodes``.
 
     Disjoint union of a-side hits and b-side-only hits (left_anti on
     the a-side) — the OR-semantics semi-join without a dedup shuffle
-    of the pair payload. ``nodes`` scales with the batch, not the
-    state, so these are ordinary shuffle joins (no broadcast hint: at
-    100 TB a batch's neighborhood need not fit one executor)."""
+    of the pair payload. small_nodes=True (caller counted ``nodes``
+    under _BROADCAST_NODES_MAX) broadcasts the node set so every
+    reference is a map-side filter over a scan of ``pairs`` — the big
+    side never shuffles; False keeps ordinary shuffle joins."""
     na = nodes.select(F.col("conv_id").alias("conv_id_a"))
     nb = nodes.select(F.col("conv_id").alias("conv_id_b"))
+    if small_nodes:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     a_hit = pairs.join(na, "conv_id_a", "left_semi")
     b_only = pairs.join(nb, "conv_id_b", "left_semi").join(
         na, "conv_id_a", "left_anti"
@@ -407,7 +436,9 @@ def _cluster_assignments(
     """Current (conv_id, component_id) view of the global-mode cluster
     DELTA ledger: per conv_id, the latest batch's assignment wins.
     One columnar scan of the delta tree + one window — never a CC
-    recompute."""
+    recompute. (resolve-time read; the per-batch step uses the
+    id-restricted _latest_assignment instead so its window shuffles
+    only the touched region's history)."""
     df = (
         spark.read.parquet(os.path.join(state_dir, "clusters"))
         .where(F.col("batch") <= upto_batch)
@@ -415,6 +446,27 @@ def _cluster_assignments(
     w = Window.partitionBy("conv_id").orderBy(F.desc("batch"))
     return (
         df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("conv_id", "component_id")
+    )
+
+
+def _latest_assignment(
+    tree: DataFrame, ids: DataFrame, small_ids: bool
+) -> DataFrame:
+    """Latest-batch cluster assignment restricted to ``ids``: semi-join
+    FIRST (broadcast when the caller counted ids small — the ledger
+    tree is scanned map-side, not shuffled), then window only over the
+    restricted rows. Restricting by conv_id keeps the latest-wins
+    semantics exact: every historical row of a kept id survives the
+    semi-join, so the window still sees the id's full history."""
+    idc = ids.select("conv_id")
+    if small_ids:
+        idc = F.broadcast(idc)
+    sub = tree.join(idc, "conv_id", "left_semi")
+    w = Window.partitionBy("conv_id").orderBy(F.desc("batch"))
+    return (
+        sub.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("conv_id", "component_id")
     )
@@ -441,33 +493,59 @@ def _cluster_delta_step(
         .distinct()
         .localCheckpoint(eager=True)  # batch-sized; read by 3 branches
     )
-    prev = None
     if b > 0:
-        # lazy persist: region_ids' eager checkpoint below is the one
-        # action over both prev references (t_comps feeds members
-        # sequentially), so the assignment window computes once
-        prev = _cluster_assignments(spark, state_dir, b - 1).persist()
+        # region = full current membership of the components touched
+        # by this batch. Exactness matters: a SUPERSET that pulls in
+        # ids of untouched components would include only part of those
+        # components' edges and write them wrong assignments. So:
+        # (1) latest assignment of the touched nodes -> touched comps;
+        # (2) ids that EVER had a row in a touched comp (superset,
+        #     cheap semi-join on component_id);
+        # (3) their latest assignments, kept only where the CURRENT
+        #     comp is touched — the exact membership.
+        # Every window runs over id-restricted rows; the ledger tree
+        # itself is only scanned (broadcast semis), never shuffled
+        # whole.
+        tree = spark.read.parquet(os.path.join(state_dir, "clusters")).where(
+            F.col("batch") <= b - 1
+        )
+        small_t = touched.count() <= _BROADCAST_NODES_MAX
+        t_assign = _latest_assignment(tree, touched, small_t)
         t_comps = (
-            touched.join(prev, "conv_id", "left")
+            touched.join(t_assign, "conv_id", "left")
             .select(
                 F.coalesce("component_id", F.col("conv_id")).alias(
                     "component_id"
                 )
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        members = prev.join(t_comps, "component_id", "left_semi").select(
-            "conv_id"
+        tc = (
+            F.broadcast(t_comps)
+            if t_comps.count() <= _BROADCAST_NODES_MAX
+            else t_comps
+        )
+        cand_ids = (
+            tree.join(tc, "component_id", "left_semi")
+            .select("conv_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        small_cand = cand_ids.count() <= _BROADCAST_NODES_MAX
+        members = (
+            _latest_assignment(tree, cand_ids, small_cand)
+            .join(tc, "component_id", "left_semi")
+            .select("conv_id")
         )
         region_ids = members.unionByName(touched).distinct()
+        region_ids = region_ids.localCheckpoint(eager=True)
     else:
         region_ids = touched
-    region_ids = region_ids.localCheckpoint(eager=True)
-    if prev is not None:
-        prev.unpersist()
+    small_r = region_ids.count() <= _BROADCAST_NODES_MAX
     cur = accumulated_matches(spark, state_dir, upto_batch=b)
     edges = _pairs_incident(
-        cur.select("conv_id_a", "conv_id_b"), region_ids
+        cur.select("conv_id_a", "conv_id_b"), region_ids, small_r
     ).select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst"))
     comp = connected_components(edges, max_iterations=cfg.cluster.max_iterations)
     assign = region_ids.join(comp, "conv_id", "left").select(
@@ -703,44 +781,65 @@ def process_one_batch(
             os.path.join(state_dir, "scored_rounds", f"round={b}")
         )
         if b > 0:  # any earlier batch (fresh or resumed) wrote state
-            # AFFECTED-NEIGHBORHOOD re-decision (module docstring):
-            # only pairs incident to this batch's new scored pairs can
-            # flip; deciding them needs both endpoints' full
-            # neighborhoods, i.e. pairs incident to the one-hop
-            # closure. decide_matches runs over that region — compute
-            # bounded by the batch's neighborhood, never the
-            # accumulated state — and the diff against the previous
-            # match set is restricted to the same affected pair set.
-            # Each intermediate is eagerly localCheckpointed: the
-            # nested semi-join chains reference their upstream several
-            # times (a/b branches, window + direct decision branches,
-            # adds + revokes), so un-truncated lineage recomputes the
-            # whole chain per reference — measured 30 s -> 112 s
-            # between batches 0 and 1 at 240k convs before truncation.
-            # Checkpoint sizes are all ∝ the batch neighborhood.
             acc = (
                 spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
                 .where(F.col("round") <= b)
                 .drop("round")
             )
-            affected = _endpoints(delta.select(*keys)).localCheckpoint(
-                eager=True
-            )
-            frontier = _endpoints(
-                _pairs_incident(acc, affected).select(*keys)
-            ).localCheckpoint(eager=True)
-            region = _pairs_incident(acc, frontier).localCheckpoint(eager=True)
-            decided = _pairs_incident(
-                decide_matches(region, cfg), affected
-            ).localCheckpoint(eager=True)
-            prev = _pairs_incident(
-                accumulated_matches(spark, state_dir, upto_batch=b - 1),
-                affected,
-            ).localCheckpoint(eager=True)
-            adds = decided.join(prev.select(*keys), keys, "left_anti")
-            revoked = prev.select(*keys).join(
-                decided.select(*keys), keys, "left_anti"
-            )
+            n_delta = delta.count()
+            n_acc = acc.count()
+            if n_acc <= _FULL_REDECIDE_MAX_RATIO * max(n_delta, 1):
+                # small accumulated state: one window over the whole
+                # tree is cheaper than the neighborhood restriction
+                # (which pays several action barriers and re-scans of
+                # the same tree) — the measured crossover constant
+                full = decide_matches(acc, cfg)
+                prev = accumulated_matches(
+                    spark, state_dir, upto_batch=b - 1
+                )
+                adds = full.join(prev.select(*keys), keys, "left_anti")
+                revoked = prev.select(*keys).join(
+                    full.select(*keys), keys, "left_anti"
+                )
+            else:
+                # AFFECTED-NEIGHBORHOOD re-decision (module docstring):
+                # only pairs incident to this batch's new scored pairs
+                # can flip; deciding them needs both endpoints' full
+                # neighborhoods, i.e. pairs incident to the one-hop
+                # closure. decide_matches runs over that region and
+                # the diff against the previous match set is
+                # restricted to the same affected pair set. Node sets
+                # broadcast when counted small, so the accumulated
+                # tree is only ever SCANNED map-side, never shuffled;
+                # each batch-sized intermediate is eagerly
+                # localCheckpointed — the nested chains reference
+                # their upstream several times (a/b branches,
+                # window + direct decision branches, adds + revokes)
+                # and un-truncated lineage recomputes the whole chain
+                # per reference (measured 30 s -> 112 s).
+                affected = _endpoints(delta.select(*keys)).localCheckpoint(
+                    eager=True
+                )
+                small = affected.count() <= _BROADCAST_NODES_MAX
+                frontier = _endpoints(
+                    _pairs_incident(acc, affected, small).select(*keys)
+                ).localCheckpoint(eager=True)
+                small_f = frontier.count() <= _BROADCAST_NODES_MAX
+                region = _pairs_incident(
+                    acc, frontier, small_f
+                ).localCheckpoint(eager=True)
+                decided = _pairs_incident(
+                    decide_matches(region, cfg), affected, small
+                ).localCheckpoint(eager=True)
+                prev = _pairs_incident(
+                    accumulated_matches(spark, state_dir, upto_batch=b - 1),
+                    affected,
+                    small,
+                ).localCheckpoint(eager=True)
+                adds = decided.join(prev.select(*keys), keys, "left_anti")
+                revoked = prev.select(*keys).join(
+                    decided.select(*keys), keys, "left_anti"
+                )
         else:
             adds = decide_matches(delta, cfg)
             revoked = spark.createDataFrame(

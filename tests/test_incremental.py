@@ -185,6 +185,9 @@ def test_global_mode_rereads_bounded_by_neighborhood(spark, tmp_path, monkeypatc
         return real_decide(scored, c)
 
     monkeypatch.setattr(inc, "decide_matches", spy)
+    # force the neighborhood path: the adaptive gate would route this
+    # tiny fixture to the (cheaper-at-small-state) full re-decision
+    monkeypatch.setattr(inc, "_FULL_REDECIDE_MAX_RATIO", 0.0)
     for b, rows in enumerate(batches):
         process_one_batch(
             spark, spark.createDataFrame(rows, schema), cfg, state, b
