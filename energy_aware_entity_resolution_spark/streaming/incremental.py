@@ -81,6 +81,13 @@ Decision semantics by config (W4):
   components keep their exact member set and internal edges, so their
   min-member component_id is unchanged and the merged view equals a
   full CC recompute (tested against the single-shot batch run).
+  Every _CLUSTER_COMPACT_EVERY-th batch COMPACTS the ledger (folds
+  the full current assignment into its partition + marker), so
+  latest-wins reads prune to [last compaction, now] instead of
+  scanning every delta ever written — amortized O(N/K) extra rows per
+  batch, and a thousands-of-micro-batches stream keeps O(K deltas +
+  one snapshot) read cost (pruning proven by a delete-the-old-
+  partitions test).
 """
 
 from __future__ import annotations
@@ -430,19 +437,56 @@ def _pairs_incident(
     return a_hit.unionByName(b_only)
 
 
+# Cluster-ledger compaction cadence: every K-th global batch writes
+# the FULL current assignment (amortized O(N/K) extra rows per batch)
+# and drops a marker, so latest-wins reads prune to [last compaction,
+# now] — without it, a stream of thousands of micro-batches makes
+# every resolve/window read O(total deltas ever written).
+_CLUSTER_COMPACT_EVERY = 16
+
+
+def _last_compaction(state_dir: str, upto_batch: int) -> int:
+    """Highest committed compaction batch ≤ upto_batch, or -1. Markers
+    are written AFTER the compacted partition; a crash between them
+    leaves the partition as an ordinary (correct, superset) delta."""
+    best = -1
+    d = os.path.join(state_dir, "clusters_compact")
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            try:
+                b = int(name)
+            except ValueError:
+                continue
+            if b <= upto_batch:
+                best = max(best, b)
+    return best
+
+
+def _cluster_tree(
+    spark: SparkSession, state_dir: str, upto_batch: int
+) -> DataFrame:
+    """The cluster delta tree pruned to [last compaction, upto_batch]
+    — the only rows latest-wins needs once a compaction batch holds
+    the full assignment."""
+    since = _last_compaction(state_dir, upto_batch)
+    df = spark.read.parquet(os.path.join(state_dir, "clusters")).where(
+        F.col("batch") <= upto_batch
+    )
+    if since > 0:
+        df = df.where(F.col("batch") >= since)
+    return df
+
+
 def _cluster_assignments(
     spark: SparkSession, state_dir: str, upto_batch: int
 ) -> DataFrame:
     """Current (conv_id, component_id) view of the global-mode cluster
-    DELTA ledger: per conv_id, the latest batch's assignment wins.
-    One columnar scan of the delta tree + one window — never a CC
-    recompute. (resolve-time read; the per-batch step uses the
-    id-restricted _latest_assignment instead so its window shuffles
-    only the touched region's history)."""
-    df = (
-        spark.read.parquet(os.path.join(state_dir, "clusters"))
-        .where(F.col("batch") <= upto_batch)
-    )
+    DELTA ledger: per conv_id, the latest batch's assignment wins,
+    read from the compaction-pruned tree. One columnar scan + one
+    window — never a CC recompute. (resolve-time read; the per-batch
+    step uses the id-restricted _latest_assignment instead so its
+    window shuffles only the touched region's history)."""
+    df = _cluster_tree(spark, state_dir, upto_batch)
     w = Window.partitionBy("conv_id").orderBy(F.desc("batch"))
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -506,9 +550,7 @@ def _cluster_delta_step(
         # Every window runs over id-restricted rows; the ledger tree
         # itself is only scanned (broadcast semis), never shuffled
         # whole.
-        tree = spark.read.parquet(os.path.join(state_dir, "clusters")).where(
-            F.col("batch") <= b - 1
-        )
+        tree = _cluster_tree(spark, state_dir, b - 1)
         small_t = touched.count() <= _BROADCAST_NODES_MAX
         t_assign = _latest_assignment(tree, touched, small_t)
         t_comps = (
@@ -552,9 +594,27 @@ def _cluster_delta_step(
         "conv_id",
         F.coalesce("component_id", F.col("conv_id")).alias("component_id"),
     )
+    compact = bool(
+        b > 0 and _CLUSTER_COMPACT_EVERY and b % _CLUSTER_COMPACT_EVERY == 0
+    )
+    if compact:
+        # compaction batch: fold every still-current older assignment
+        # in (region rows win), so this partition alone carries the
+        # full state and readers prune to [here, now]
+        older = _cluster_assignments(spark, state_dir, b - 1).join(
+            region_ids, "conv_id", "left_anti"
+        )
+        assign = assign.unionByName(older)
     assign.write.mode("overwrite").parquet(
         os.path.join(state_dir, "clusters", f"batch={b}")
     )
+    if compact:
+        # marker AFTER the partition write: a crash in between leaves
+        # an ordinary (correct, superset) delta with no pruning claim
+        d = os.path.join(state_dir, "clusters_compact")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, str(b)), "w") as f:
+            f.write("ok")
 
 
 def accumulated_matches(

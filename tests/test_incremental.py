@@ -127,6 +127,84 @@ def test_incremental_matches_batch_global_configs(spark, transcripts, tmp_path):
     assert got == want
 
 
+def test_global_cluster_ledger_compaction(spark, transcripts, tmp_path, monkeypatch):
+    """Ledger compaction: every K-th global batch folds the full
+    current assignment into its partition and drops a marker, after
+    which reads prune to [compaction, now]. Proof of pruning: deleting
+    every pre-compaction batch partition must not change the resolved
+    clusters."""
+    import shutil
+
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        resolve_clusters,
+    )
+
+    monkeypatch.setattr(inc, "_CLUSTER_COMPACT_EVERY", 2)
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "gstate_compact")
+    inc_clusters = run_incremental(transcripts, cfg, state, n_batches=4)
+    want = _cluster_sets(inc_clusters)
+    # markers for batches 2 (and nothing else <= 1)
+    import os
+
+    assert os.path.exists(f"{state}/clusters_compact/2")
+    batch = run_pipeline(transcripts, cfg)
+    assert want == _cluster_sets(batch.clusters)
+    # reads must not touch pre-compaction partitions: delete them
+    for b in (0, 1):
+        shutil.rmtree(f"{state}/clusters/batch={b}")
+    assert _cluster_sets(resolve_clusters(spark, state)) == want
+    batch.release()
+
+
+def test_incremental_resume_after_kill_global_mode(spark, transcripts, tmp_path):
+    """Kill/resume under GLOBAL decision configs: the add+revoke delta
+    state AND the per-batch cluster ledger must survive a restart —
+    resuming batches 2..3 over a 2-batch prefix converges to the same
+    partition and match set as an uninterrupted 4-batch run."""
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+    )
+
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "gstate_resume")
+    first = transcripts.withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    )
+    run_incremental(
+        first.where(F.col("_b") <= 1).drop("_b"), cfg, state, n_batches=2
+    )
+    assert last_complete_batch(state) == 1
+    final = run_incremental(transcripts, cfg, state, n_batches=4, resume=True)
+    full_state = str(tmp_path / "gstate_full")
+    full = run_incremental(transcripts, cfg, full_state, n_batches=4)
+    assert _cluster_sets(final) == _cluster_sets(full)
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    want = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, full_state).collect()
+    }
+    assert got == want
+
+
 def test_global_mode_rereads_bounded_by_neighborhood(spark, tmp_path, monkeypatch):
     """The O(T²) gate for W4 GLOBAL configs: each batch's re-decision
     must run over pairs incident to the batch's affected neighborhood
