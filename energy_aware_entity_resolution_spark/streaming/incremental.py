@@ -617,6 +617,25 @@ def _cluster_delta_step(
             f.write("ok")
 
 
+def _last_match_compaction(state_dir: str, upto_batch: int) -> int:
+    """Highest committed match-set snapshot batch ≤ upto_batch, or -1."""
+    best = -1
+    d = os.path.join(state_dir, "matches_compact")
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if not name.startswith("batch="):
+                continue
+            try:
+                b = int(name.split("=")[1])
+            except ValueError:
+                continue
+            if b <= upto_batch and os.path.exists(
+                os.path.join(d, name, "_SUCCESS")
+            ):
+                best = max(best, b)
+    return best
+
+
 def accumulated_matches(
     spark: SparkSession, state_dir: str, upto_batch: int | None = None
 ) -> DataFrame:
@@ -625,6 +644,14 @@ def accumulated_matches(
     once and revoked at most once, after its add — see module
     docstring monotonicity argument).
 
+    When a ``matches_compact`` snapshot exists (written every
+    _CLUSTER_COMPACT_EVERY-th global batch alongside the cluster
+    compaction), the read is snapshot ∪ later adds, anti later
+    revokes — earlier deltas are already folded in, so the per-call
+    scan is O(snapshot + K batches of deltas), not O(every delta ever
+    written). The delta trees themselves are never deleted
+    (round_evaluation_timeseries needs full history).
+
     upto_batch=None reads COMMITTED state only (batches with a done
     marker): a batch's adds land before its revokes, so an unbounded
     read during a crash window or a concurrent micro-batch would see
@@ -632,17 +659,23 @@ def accumulated_matches(
     partial-state hazard the features reader prunes against."""
     if upto_batch is None:
         upto_batch = last_complete_batch(state_dir)
+    since = _last_match_compaction(state_dir, upto_batch)
     m = (
         spark.read.parquet(os.path.join(state_dir, "matches"))
-        .where(F.col("batch") <= upto_batch)
+        .where((F.col("batch") > since) & (F.col("batch") <= upto_batch))
         .drop("batch")
     )
+    if since >= 0:
+        snap = spark.read.parquet(
+            os.path.join(state_dir, "matches_compact", f"batch={since}")
+        )
+        m = m.unionByName(snap)
     rev_path = os.path.join(state_dir, "revoked")
     if os.path.isdir(rev_path) and any(
         n.startswith("batch=") for n in os.listdir(rev_path)
     ):
         rev = spark.read.parquet(rev_path).where(
-            F.col("batch") <= upto_batch
+            (F.col("batch") > since) & (F.col("batch") <= upto_batch)
         )
         m = m.join(
             rev.select("conv_id_a", "conv_id_b"),
@@ -911,6 +944,15 @@ def process_one_batch(
         revoked.write.mode("overwrite").parquet(
             os.path.join(state_dir, "revoked", f"batch={b}")
         )
+        if b > 0 and _CLUSTER_COMPACT_EVERY and b % _CLUSTER_COMPACT_EVERY == 0:
+            # match-set snapshot at the same cadence as the cluster
+            # compaction: folds all deltas so far so accumulated reads
+            # prune to [snapshot, now] (the delta trees stay — the
+            # round timeseries needs full history). _SUCCESS commits
+            # it; the cluster step below already reads the pruned view
+            accumulated_matches(spark, state_dir, upto_batch=b).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(state_dir, "matches_compact", f"batch={b}"))
         _cluster_delta_step(spark, state_dir, b, cfg)
     else:
         new_matches = decide_matches(scored, cfg)

@@ -162,6 +162,25 @@ def test_global_cluster_ledger_compaction(spark, transcripts, tmp_path, monkeypa
     for b in (0, 1):
         shutil.rmtree(f"{state}/clusters/batch={b}")
     assert _cluster_sets(resolve_clusters(spark, state)) == want
+    # match-set snapshot at the same cadence, same pruning proof:
+    # accumulated_matches must survive deleting pre-snapshot deltas
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+    )
+
+    assert os.path.exists(f"{state}/matches_compact/batch=2/_SUCCESS")
+    want_m = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in batch.matches.collect()
+    }
+    for b in (0, 1):
+        shutil.rmtree(f"{state}/matches/batch={b}")
+        shutil.rmtree(f"{state}/revoked/batch={b}")
+    got_m = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    assert got_m == want_m
     batch.release()
 
 
