@@ -127,6 +127,73 @@ def test_incremental_matches_batch_global_configs(spark, transcripts, tmp_path):
     assert got == want
 
 
+def test_global_neighborhood_equals_full_on_dense_graphs(
+    spark, tmp_path, monkeypatch
+):
+    """The closure argument under adversarial density: conversations
+    built from a SMALL shared vocab pool, so blocks overlap heavily
+    and one batch's new pairs can flip ratio/mutual decisions deep in
+    the existing graph. The forced-neighborhood path must produce
+    bit-identical match state and cluster partitions to the forced
+    full re-decision, across seeds."""
+    import random
+    from datetime import datetime
+
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+    )
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    vocab = [f"tok{i}" for i in range(12)]  # tiny pool -> dense overlap
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+
+    def mk_transcripts(seed):
+        rnd = random.Random(seed)
+        rows = []
+        for i in range(36):
+            words = rnd.sample(vocab, k=rnd.randint(4, 7))
+            for t in range(2):
+                rows.append(
+                    (f"c{i:02d}", t, "user", " ".join(words),
+                     None, datetime(2026, 1, 1, 0, 0, t))
+                )
+        return spark.createDataFrame(rows, schema)
+
+    def state_of(state_dir):
+        matches = {
+            (r["conv_id_a"], r["conv_id_b"])
+            for r in accumulated_matches(spark, state_dir).collect()
+        }
+        return matches
+
+    for seed in (1, 7, 23):
+        t = mk_transcripts(seed)
+        monkeypatch.setattr(inc, "_FULL_REDECIDE_MAX_RATIO", 0.0)
+        nb = run_incremental(
+            t, cfg, str(tmp_path / f"nb{seed}"), n_batches=3
+        )
+        nb_state = state_of(str(tmp_path / f"nb{seed}"))
+        monkeypatch.setattr(inc, "_FULL_REDECIDE_MAX_RATIO", float("inf"))
+        fl = run_incremental(
+            t, cfg, str(tmp_path / f"fl{seed}"), n_batches=3
+        )
+        fl_state = state_of(str(tmp_path / f"fl{seed}"))
+        assert nb_state == fl_state, f"seed {seed}: match sets differ"
+        assert _cluster_sets(nb) == _cluster_sets(fl), f"seed {seed}"
+        monkeypatch.undo()
+
+
 def test_global_cluster_ledger_compaction(spark, transcripts, tmp_path, monkeypatch):
     """Ledger compaction: every K-th global batch folds the full
     current assignment into its partition and drops a marker, after
