@@ -310,6 +310,25 @@ def test_pq_query_collect_guard(spark, unit_vectors, monkeypatch):
         ss.pq_topk(codes, unit_vectors, books, topk=3)
 
 
+def test_ivf_pq_degenerate_inputs(spark, unit_vectors):
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(unit_vectors, m=4, k=4)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = ivf_pq_topk(unit_vectors, empty, books, topk=3, n_cells=4)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "approx_dot", "rank"]
+    out_rr = ivf_pq_topk(
+        unit_vectors, empty, books, topk=3, n_cells=4,
+        rerank_with=unit_vectors,
+    )
+    assert out_rr.count() == 0
+    assert out_rr.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
 def test_pq_degenerate_inputs(spark, unit_vectors):
     from energy_aware_entity_resolution_spark.operators.similarity_search import (
         pq_codebooks,

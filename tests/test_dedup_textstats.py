@@ -300,3 +300,16 @@ def test_embedding_near_dup_multipass_recall_monotone(spark):
     assert recalls == sorted(recalls)  # monotone in passes
     assert recalls[-1] > recalls[0]
     assert recalls[-1] >= 0.95
+
+
+def test_embedding_near_dup_multipass_degenerate(spark):
+    import pytest
+
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        embedding_near_dup_pairs_multipass,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no seeds"):
+        embedding_near_dup_pairs_multipass(empty, [])
+    assert embedding_near_dup_pairs_multipass(empty, [1, 2]).count() == 0
