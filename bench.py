@@ -475,10 +475,10 @@ def _write_bench_md(out: dict) -> None:
         "",
         f"Per-query wall seconds at full parallelism (noop sink), MEDIAN",
         f"of {N_QUERY_REPEATS} repeats with the raw samples beside it; the",
-        "`vs r02` column is this_round / last_round (last round was a",
-        "single sample — treat sub-2x ratios as host noise):",
+        "`vs prev` column is this_round / previous_round medians",
+        "(BENCH_r03_summary.json; sub-1.5x ratios are host noise):",
         "",
-        "| query | median s | raw samples | vs r02 |",
+        "| query | median s | raw samples | vs prev |",
         "|---|---|---|---|",
     ]
     reg = out.get("regression_vs_prev") or {}
