@@ -76,3 +76,9 @@ def test_incremental_global_mode_empty_and_singleton(spark, tmp_path):
     clusters = run_incremental(t, cfg, str(tmp_path / "deg"), n_batches=2)
     got = {r["conv_id"]: r["component_id"] for r in clusters.collect()}
     assert got == {"c1": "c1", "c2": "c2"}
+    # 2 conversations through 5 batches: at least 3 batches carry ZERO
+    # rows — the full global path (empty delta, empty affected set,
+    # empty cluster-delta region) must run clean through all of them
+    clusters5 = run_incremental(t, cfg, str(tmp_path / "deg5"), n_batches=5)
+    got5 = {r["conv_id"]: r["component_id"] for r in clusters5.collect()}
+    assert got5 == {"c1": "c1", "c2": "c2"}
