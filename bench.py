@@ -15,8 +15,10 @@ delivery (identical runs observed 50-138 s apart over an hour):
    is computed PER REP from the adjacent low/high pair, then the
    median of per-rep efficiencies is reported (a single slow window
    cancels out of the ratio).
-2. >= 3 repeats per level; the FULL raw run list ships in the JSON —
-   medians summarize, raw runs let anyone re-derive.
+2. >= 3 repeats per level; the FULL raw run list ships in
+   BENCH_full.json + BENCH.md (stdout's final line is a COMPACT
+   medians-only JSON sized for the driver's tail capture) — medians
+   summarize, raw runs let anyone re-derive.
 3. A noise-independent compute metric per run: JVM process-CPU-seconds
    consumed by the measured pipeline (all executors share the local
    JVM, so this is the sum of task CPU + driver). cpu_ratio =
@@ -68,6 +70,9 @@ BENCH_QUERIES = [
     "simhash",
     "lang_quality",
     "sessionize_events",
+    # round-4 additions (no prev-round ratio on their first appearance)
+    "embedding_near_dup_multipass",
+    "ivf_topk",
 ]
 
 
