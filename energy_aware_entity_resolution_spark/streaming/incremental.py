@@ -92,7 +92,9 @@ Decision semantics by config (W4):
 
 from __future__ import annotations
 
+import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -825,6 +827,7 @@ def process_one_batch(
     global_mode = _is_global_mode(cfg)
     scored_snapshots = scored_snapshots or global_mode
     os.makedirs(os.path.join(state_dir, "done"), exist_ok=True)
+    _t0 = time.monotonic()
     feats_new = featurize(assemble_conversations(new_transcripts), cfg)
 
     # 1. append this batch's features (idempotent partition write),
@@ -845,6 +848,7 @@ def process_one_batch(
     feats_new = spark.read.parquet(
         os.path.join(state_dir, "features", f"batch={b}")
     )
+    _t_feat = time.monotonic()
 
     # 2. stream-static candidates + scoring; per-round snapshot (W5)
     cands = _incremental_candidates(feats_new, all_feats, cfg)
@@ -868,6 +872,8 @@ def process_one_batch(
     # over the ACCUMULATED scored state and diff against the
     # previous match set (adds + at-most-one revoke per pair —
     # module docstring).
+    _t_score = time.monotonic()
+    decide_path = "delta"
     if global_mode:
         keys = ["conv_id_a", "conv_id_b"]
         delta = spark.read.parquet(
@@ -881,7 +887,12 @@ def process_one_batch(
             )
             n_delta = delta.count()
             n_acc = acc.count()
-            if n_acc <= _FULL_REDECIDE_MAX_RATIO * max(n_delta, 1):
+            decide_path = (
+                "full"
+                if n_acc <= _FULL_REDECIDE_MAX_RATIO * max(n_delta, 1)
+                else "neighborhood"
+            )
+            if decide_path == "full":
                 # small accumulated state: one window over the whole
                 # tree is cheaper than the neighborhood restriction
                 # (which pays several action barriers and re-scans of
@@ -934,6 +945,7 @@ def process_one_batch(
                     decided.select(*keys), keys, "left_anti"
                 )
         else:
+            decide_path = "initial"
             adds = decide_matches(delta, cfg)
             revoked = spark.createDataFrame(
                 [], "conv_id_a string, conv_id_b string"
@@ -968,8 +980,37 @@ def process_one_batch(
         # can't express revocation)
         _merge_step(spark, new_matches, state_dir, b, cfg)
 
+    # per-batch audit record (reference analog: the Kafka consumer's
+    # per-window logging, kafkaconsumer.py:511-524): pure wall
+    # attribution captured around the phases already executed — adds
+    # ZERO Spark actions. Phase boundaries are the parquet writes, so
+    # lazily-fused work lands in the phase whose write materialized
+    # it (threshold mode without snapshots: scoring lands in decide).
+    _t_end = time.monotonic()
+    audit_dir = os.path.join(state_dir, "audit")
+    os.makedirs(audit_dir, exist_ok=True)
+    with open(os.path.join(audit_dir, f"batch_{b:04d}.json"), "w") as f:
+        json.dump(
+            {
+                "batch": b,
+                "mode": "global" if global_mode else "threshold",
+                "decide_path": decide_path,
+                "featurize_s": round(_t_feat - _t0, 3),
+                "score_s": round(_t_score - _t_feat, 3),
+                "decide_s": round(_t_end - _t_score, 3),
+                "total_s": round(_t_end - _t0, 3),
+            },
+            f,
+        )
+
     with open(_done(state_dir, b), "w") as f:
         f.write(marker_text)
+
+
+def read_batch_audit(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-batch audit records as a DataFrame (batch, mode,
+    decide_path, per-phase walls) — ordered by batch."""
+    return spark.read.json(os.path.join(state_dir, "audit")).orderBy("batch")
 
 
 def run_incremental(

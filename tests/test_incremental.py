@@ -127,6 +127,38 @@ def test_incremental_matches_batch_global_configs(spark, transcripts, tmp_path):
     assert got == want
 
 
+def test_batch_audit_records(spark, transcripts, tmp_path):
+    """Per-batch audit: every incremental round writes a wall-
+    attribution record (reference analog of the Kafka consumer's
+    per-window logging) with mode and decision-path provenance."""
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        read_batch_audit,
+    )
+
+    state = str(tmp_path / "audit_thr")
+    run_incremental(transcripts, PipelineConfig(), state, n_batches=2)
+    rows = read_batch_audit(spark, state).collect()
+    assert [r["batch"] for r in rows] == [0, 1]
+    assert all(r["mode"] == "threshold" for r in rows)
+    assert all(r["decide_path"] == "delta" for r in rows)
+    assert all(r["total_s"] > 0 for r in rows)
+
+    gcfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    gstate = str(tmp_path / "audit_glob")
+    run_incremental(transcripts, gcfg, gstate, n_batches=2)
+    grows = {r["batch"]: r for r in read_batch_audit(spark, gstate).collect()}
+    assert grows[0]["decide_path"] == "initial"
+    assert grows[1]["decide_path"] in ("full", "neighborhood")
+    assert all(r["mode"] == "global" for r in grows.values())
+
+
 def test_global_neighborhood_equals_full_on_dense_graphs(
     spark, tmp_path, monkeypatch
 ):
