@@ -518,6 +518,35 @@ def _latest_assignment(
     )
 
 
+def _bootstrap_cluster_ledger(
+    spark: SparkSession, state_dir: str, upto: int, cfg: PipelineConfig
+) -> None:
+    """Backfill the cluster DELTA ledger for a LEGACY global-mode state
+    dir (written before the ledger existed): one full-CC compaction
+    batch — the complete current assignment as of batch ``upto`` plus
+    the compaction marker — after which delta maintenance proceeds
+    normally. Without this, resuming a pre-ledger state crashes on the
+    missing ``clusters`` path, and a partial backfill would treat
+    historically-clustered ids as singletons when computing touched
+    components. Ids not in the current match set stay out of the
+    ledger and resolve as singletons — exactly the legacy full-CC
+    fallback's semantics. Marker AFTER the partition write: a crash in
+    between leaves a full (correct, superset) delta and the next
+    resume redoes the bootstrap idempotently."""
+    prev = accumulated_matches(spark, state_dir, upto_batch=upto)
+    edges = prev.select(
+        F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+    )
+    comp = connected_components(edges, max_iterations=cfg.cluster.max_iterations)
+    comp.select("conv_id", "component_id").write.mode("overwrite").parquet(
+        os.path.join(state_dir, "clusters", f"batch={upto}")
+    )
+    d = os.path.join(state_dir, "clusters_compact")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, str(upto)), "w") as f:
+        f.write("ok")
+
+
 def _cluster_delta_step(
     spark: SparkSession, state_dir: str, b: int, cfg: PipelineConfig
 ) -> None:
@@ -539,6 +568,10 @@ def _cluster_delta_step(
         .distinct()
         .localCheckpoint(eager=True)  # batch-sized; read by 3 branches
     )
+    if b > 0 and not os.path.isdir(os.path.join(state_dir, "clusters")):
+        # legacy (pre-ledger) global-mode state: backfill once, then
+        # maintain deltas as usual
+        _bootstrap_cluster_ledger(spark, state_dir, b - 1, cfg)
     if b > 0:
         # region = full current membership of the components touched
         # by this batch. Exactness matters: a SUPERSET that pulls in
@@ -639,7 +672,10 @@ def _last_match_compaction(state_dir: str, upto_batch: int) -> int:
 
 
 def accumulated_matches(
-    spark: SparkSession, state_dir: str, upto_batch: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    upto_batch: int | None = None,
+    max_snapshot: int | None = None,
 ) -> DataFrame:
     """Current match set: union of per-batch add deltas, minus revokes
     (global-decision mode only writes revokes; a pair is added at most
@@ -658,10 +694,21 @@ def accumulated_matches(
     marker): a batch's adds land before its revokes, so an unbounded
     read during a crash window or a concurrent micro-batch would see
     pairs whose revocation hasn't been written yet — the same
-    partial-state hazard the features reader prunes against."""
+    partial-state hazard the features reader prunes against.
+
+    max_snapshot bounds which SNAPSHOT may seed the read (deltas still
+    range over (snapshot, upto_batch]). The compaction writer needs it:
+    rebuilding the batch-b snapshot after a crash that committed
+    batch=b's _SUCCESS but not the done marker must NOT read the
+    batch=b snapshot it is about to overwrite (Spark refuses to
+    overwrite a path also being read — every resume attempt would then
+    fail), so it seeds from the previous compaction instead."""
     if upto_batch is None:
         upto_batch = last_complete_batch(state_dir)
-    since = _last_match_compaction(state_dir, upto_batch)
+    snap_bound = (
+        upto_batch if max_snapshot is None else min(max_snapshot, upto_batch)
+    )
+    since = _last_match_compaction(state_dir, snap_bound)
     m = (
         spark.read.parquet(os.path.join(state_dir, "matches"))
         .where((F.col("batch") > since) & (F.col("batch") <= upto_batch))
@@ -961,10 +1008,17 @@ def process_one_batch(
             # compaction: folds all deltas so far so accumulated reads
             # prune to [snapshot, now] (the delta trees stay — the
             # round timeseries needs full history). _SUCCESS commits
-            # it; the cluster step below already reads the pruned view
-            accumulated_matches(spark, state_dir, upto_batch=b).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(state_dir, "matches_compact", f"batch={b}"))
+            # it; the cluster step below already reads the pruned view.
+            # max_snapshot=b-1: a crash that committed this snapshot
+            # but not the done marker must rebuild it from the
+            # PREVIOUS compaction on resume — seeding from batch=b
+            # itself would overwrite a path being read (fatal on every
+            # subsequent resume attempt).
+            accumulated_matches(
+                spark, state_dir, upto_batch=b, max_snapshot=b - 1
+            ).write.mode("overwrite").parquet(
+                os.path.join(state_dir, "matches_compact", f"batch={b}")
+            )
         _cluster_delta_step(spark, state_dir, b, cfg)
     else:
         new_matches = decide_matches(scored, cfg)

@@ -204,6 +204,15 @@ def make_process_batch(
         marker = f"{scope}{epoch_id}"
         if epoch_already_processed(state_dir, marker):
             return  # replayed epoch of THIS query: already committed
+        if scope and epoch_already_processed(state_dir, str(epoch_id)):
+            # LEGACY marker: epochs committed before the scoped-marker
+            # format existed wrote bare str(epoch_id). Without this, a
+            # resumed pre-upgrade stream re-ingests those epochs under
+            # fresh batch ids — exactly the silent global-mode match
+            # revocation the guard exists to prevent. Accepting the
+            # bare form preserves pre-upgrade semantics for
+            # pre-upgrade markers (they were never query-scoped).
+            return
         b = last_complete_batch(state_dir) + 1
         process_one_batch(
             batch_df.sparkSession, batch_df, cfg, state_dir, b,

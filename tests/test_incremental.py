@@ -568,3 +568,98 @@ def test_round_timeseries_respects_revokes(spark, tmp_path):
     ts = {r["round"]: r for r in round_evaluation_timeseries(spark, state, truth).collect()}
     assert ts[0]["tp"] == 1 and ts[1]["tp"] == 0
     assert accumulated_matches(spark, state).count() == 0  # committed view
+
+
+def test_compaction_resume_after_crash_between_snapshot_and_marker(
+    spark, transcripts, tmp_path, monkeypatch
+):
+    """Crash window: the matches_compact/batch=b snapshot committed
+    (_SUCCESS written) but the done marker didn't land. The resumed
+    batch b rebuilds the snapshot and must seed it from the PREVIOUS
+    compaction — reading the batch=b snapshot it is about to overwrite
+    raises 'Cannot overwrite a path that is also being read from' on
+    every resume attempt (permanently wedged state)."""
+    import os
+
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+    )
+
+    monkeypatch.setattr(inc, "_CLUSTER_COMPACT_EVERY", 2)
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "crash_state")
+    # batches 0..2 of a 4-batch run complete (same pmod batching as
+    # run_incremental so the resumed batch 2 holds the same convs);
+    # batch 2 is a compaction batch
+    batched = transcripts.withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    )
+    for b in range(3):
+        inc.process_one_batch(
+            spark, batched.where(F.col("_b") == b).drop("_b"), cfg, state, b
+        )
+    assert os.path.exists(f"{state}/matches_compact/batch=2/_SUCCESS")
+    # simulate the crash: snapshot committed, done marker lost
+    os.remove(f"{state}/done/_DONE_0002")
+    assert last_complete_batch(state) == 1
+    # resume replays batch 2 (rebuilding the snapshot in place) + 3
+    final = run_incremental(transcripts, cfg, state, n_batches=4, resume=True)
+    full_state = str(tmp_path / "crash_full")
+    full = run_incremental(transcripts, cfg, full_state, n_batches=4)
+    assert _cluster_sets(final) == _cluster_sets(full)
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    want = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, full_state).collect()
+    }
+    assert got == want
+
+
+def test_legacy_global_state_bootstraps_cluster_ledger(
+    spark, transcripts, tmp_path
+):
+    """A pre-ledger (legacy) global-mode state dir has no ``clusters``
+    tree. Resuming it must bootstrap the ledger with one full-CC
+    compaction batch — not crash on the missing path, and not treat
+    historically-clustered ids as singletons."""
+    import os
+    import shutil
+
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "legacy_state")
+    first = transcripts.withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    )
+    run_incremental(
+        first.where(F.col("_b") <= 1).drop("_b"), cfg, state, n_batches=2
+    )
+    # strip the ledger: what a pre-round-4 state dir looks like
+    shutil.rmtree(f"{state}/clusters")
+    if os.path.isdir(f"{state}/clusters_compact"):
+        shutil.rmtree(f"{state}/clusters_compact")
+    final = run_incremental(transcripts, cfg, state, n_batches=4, resume=True)
+    full = run_incremental(
+        transcripts, cfg, str(tmp_path / "legacy_full"), n_batches=4
+    )
+    assert _cluster_sets(final) == _cluster_sets(full)
+    # the bootstrap left a committed compaction marker
+    assert os.path.exists(f"{state}/clusters_compact/1")

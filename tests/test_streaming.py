@@ -397,3 +397,44 @@ def test_stream_threshold_mode_snapshot_opt_out(spark, transcripts, tmp_path):
     q.awaitTermination(300)
     assert not os.path.isdir(os.path.join(state, "scored_rounds"))
     assert resolve_clusters(spark, state).count() > 0
+
+
+def test_replay_guard_accepts_legacy_bare_markers(spark, transcripts, tmp_path):
+    """Markers committed before the scoped-marker format existed are
+    bare str(epoch_id). A resumed pre-upgrade stream (now passing
+    run_scope) must still recognize those epochs as processed — else
+    it re-ingests them under fresh batch ids, the silent global-mode
+    revocation the guard documents."""
+    import os
+
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        last_complete_batch,
+    )
+    from energy_aware_entity_resolution_spark.streaming.structured import (
+        make_process_batch,
+    )
+
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "legacy_marker_state")
+    # legacy epoch 0: committed under the pre-upgrade bare marker
+    legacy = make_process_batch(cfg, state, run_scope=None)
+    legacy(transcripts, epoch_id=0)
+    assert last_complete_batch(state) == 0
+    with open(f"{state}/done/_DONE_0000") as f:
+        assert f.read() == "0"  # bare format, by construction
+    # post-upgrade resume of the SAME query, now scoped: epoch 0
+    # replay must be skipped via the legacy marker
+    upgraded = make_process_batch(
+        cfg, state, run_scope=str(tmp_path / "ckpt_legacy")
+    )
+    upgraded(transcripts, epoch_id=0)
+    assert last_complete_batch(state) == 0  # not re-ingested
+    upgraded(transcripts, epoch_id=1)  # new epochs still process
+    assert last_complete_batch(state) == 1
