@@ -302,6 +302,8 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rotation_seed: int | None = None,
+    max_bucket_rows: int = 16384,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket equi-join
     with exact cosine verification >= threshold (the embedding-space
@@ -315,7 +317,21 @@ def embedding_near_dup_pairs(
     (boundary neighbors in different buckets) — raise recall with more
     verification passes at different rotation seeds, each a new
     equi-join, never a cross join.
-    """
+
+    SKEW DEFENSE (lsh_pairs' count-first pattern, candidates.py:93-160;
+    reference hub-cap analog dynamic_entity_resolution.py:283-289): a
+    degenerate vector population (boilerplate/zero embeddings,
+    correlated dims under the axis-aligned default) can concentrate
+    mass in ONE bucket, whose C(m,2) self-join would otherwise land in
+    a single uncapped task. Buckets above max_bucket_rows instead run
+    a deterministic salted self-join CARRYING the vectors (each row
+    replicated ≤ salt_buckets times — never the C(m,2) pairs reshuffled
+    for a vector re-join), so one hot bucket becomes ~s²/2 balanced
+    tasks. Recall-preserving: the salted branch emits exactly the
+    plain join's verified pairs. The oversize key set broadcasts —
+    it is small by construction (skew MEANS few hot buckets; the
+    auto-n_bits path keeps expected occupancy ~4k ≪ the cap, so
+    uniformly-oversize buckets don't arise)."""
     from energy_aware_entity_resolution_spark.operators.similarity_search import (
         _cosine,
         sign_lsh_buckets,
@@ -324,13 +340,16 @@ def embedding_near_dup_pairs(
     b = sign_lsh_buckets(
         vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
     )
-    a_side = b.select(
+    counts = b.groupBy("bucket").agg(F.count("*").alias("_n"))
+    big_keys = counts.where(F.col("_n") > max_bucket_rows).select("bucket")
+    small = b.join(F.broadcast(big_keys), "bucket", "left_anti")
+    a_side = small.select(
         "bucket", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
     )
-    b_side = b.select(
+    b_side = small.select(
         "bucket", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
     )
-    return (
+    plain = (
         a_side.join(b_side, "bucket")
         .where(F.col("_ida") < F.col("_idb"))
         .select(
@@ -340,6 +359,41 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+    # salted branch: same sub-bucket decomposition as
+    # salted_self_join_pairs, but carrying (id, vec) so the verify
+    # cosine computes inside the balanced join
+    s = salt_buckets
+    big = b.join(F.broadcast(big_keys), "bucket", "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
+    )
+    left = big.select(
+        "bucket",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_salt").alias("_i"),
+        F.explode(F.sequence(F.col("_salt"), F.lit(s - 1))).alias("_j"),
+    )
+    right = big.select(
+        "bucket",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_salt").alias("_j"),
+        F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_i"),
+    )
+    salted = (
+        left.join(right, ["bucket", "_i", "_j"])
+        .where(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias(f"{id_col}_a"),
+            F.greatest("_ida", "_idb").alias(f"{id_col}_b"),
+            _cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+    )
+    # a pair lives in exactly one bucket, and a bucket is either small
+    # or big — the branches are disjoint, so the union needs no dedup
+    return plain.unionByName(salted)
 
 
 def embedding_near_dup_pairs_multipass(
@@ -349,6 +403,8 @@ def embedding_near_dup_pairs_multipass(
     n_bits: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int = 16384,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Multi-pass rotated-LSH near-dup: union of verified pairs across
     n independent rotation seeds — the "more verification passes"
@@ -366,7 +422,8 @@ def embedding_near_dup_pairs_multipass(
         raise ValueError("embedding_near_dup_pairs_multipass: no seeds")
     passes = [
         embedding_near_dup_pairs(
-            vectors, threshold, n_bits, id_col, vec_col, rotation_seed=s
+            vectors, threshold, n_bits, id_col, vec_col, rotation_seed=s,
+            max_bucket_rows=max_bucket_rows, salt_buckets=salt_buckets,
         )
         for s in rotation_seeds
     ]

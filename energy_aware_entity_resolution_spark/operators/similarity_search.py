@@ -164,6 +164,8 @@ def bucketed_topk(
     probe_hamming: int = 0,
     target_bucket_rows: int = 4096,
     rotation_seed: int | None = None,
+    max_bucket_rows: int = 16384,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Approximate all-pairs top-k: equi-join within LSH buckets.
 
@@ -174,12 +176,30 @@ def bucketed_topk(
     equi-join; the query side fans out ×(n_bits+1), the index side is
     untouched. rotation_seed opts into general seeded hyperplanes for
     correlated-dimension embeddings (see sign_lsh_buckets).
-    """
+
+    SKEW DEFENSE (lsh_pairs' count-first pattern, candidates.py:93-160):
+    a degenerate population concentrating mass in one bucket would
+    otherwise make every probe of that bucket one uncapped join task.
+    Index rows of buckets above max_bucket_rows are deterministically
+    salted into salt_buckets sub-buckets; a query probing a hot bucket
+    fans out over all its sub-buckets (small buckets keep salt 0, no
+    fan-out), so the join key (bucket, _salt) bounds every task at
+    ~max(bucket_rows/s) while each (query, neighbor) candidate still
+    appears exactly once — output identical to the uncapped join. The
+    hot-key set broadcasts (skew means FEW hot buckets; auto-n_bits
+    keeps expected occupancy ≪ the cap)."""
     if n_bits is None:
         n_bits = _auto_bits(vectors.count(), target_bucket_rows)
     b = sign_lsh_buckets(
         vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
     )
+    big_keys = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket_rows)
+        .select("bucket", F.lit(True).alias("_big"))
+    )
+    s = salt_buckets
     masks = [0] + ([1 << j for j in range(n_bits)] if probe_hamming >= 1 else [])
     a_side = (
         b.select(
@@ -193,12 +213,35 @@ def bucketed_topk(
             "query_id",
             "qv",
         )
+        .join(F.broadcast(big_keys), "bucket", "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_big"), F.sequence(F.lit(0), F.lit(s - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_big")
     )
-    b_side = b.select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vv")
+    b_side = (
+        b.select(
+            F.col("bucket"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("vv"),
+        )
+        .join(F.broadcast(big_keys), "bucket", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_big"),
+                F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(s)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_big")
     )
     scored = (
-        a_side.join(b_side, "bucket")
+        a_side.join(b_side, ["bucket", "_salt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("vv")).alias("cosine")

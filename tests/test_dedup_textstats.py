@@ -313,3 +313,51 @@ def test_embedding_near_dup_multipass_degenerate(spark):
     with pytest.raises(ValueError, match="no seeds"):
         embedding_near_dup_pairs_multipass(empty, [])
     assert embedding_near_dup_pairs_multipass(empty, [1, 2]).count() == 0
+
+
+def test_embedding_near_dup_salted_cap_equals_plain(spark):
+    """Skew defense: a degenerate population (300 near-identical
+    vectors -> ONE hot LSH bucket) must route through the salted
+    self-join when the bucket exceeds max_bucket_rows, producing
+    EXACTLY the uncapped join's verified pairs (recall-preserving) —
+    the lsh_pairs count-first-cap pattern applied to the embedding
+    path."""
+    import numpy as np
+
+    from energy_aware_entity_resolution_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(size=8) * 0.01])
+        for i in range(300)
+    ]
+    rows += [
+        (1000 + i, [float(x) for x in rng.normal(size=8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = embedding_near_dup_pairs(df, threshold=0.9, n_bits=3)
+    salted = embedding_near_dup_pairs(
+        df, threshold=0.9, n_bits=3, max_bucket_rows=50, salt_buckets=4
+    )
+    p = {(r["vec_id_a"], r["vec_id_b"], r["cosine"]) for r in plain.collect()}
+    s = {(r["vec_id_a"], r["vec_id_b"], r["cosine"]) for r in salted.collect()}
+    assert len(p) >= 300 * 299 // 2  # the hot bucket's pairs are all real
+    assert s == p
+
+
+def test_bucketed_topk_salted_cap_equals_plain(spark, vectors):
+    """Index-side bucket salting under the cap must not change the
+    top-k output (each candidate pair appears exactly once across
+    sub-buckets), including under multi-probe query fan-out."""
+    plain = bucketed_topk(vectors, k=3, n_bits=2, probe_hamming=1)
+    salted = bucketed_topk(
+        vectors, k=3, n_bits=2, probe_hamming=1,
+        max_bucket_rows=5, salt_buckets=4,
+    )
+    p = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in plain.collect()}
+    s = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in salted.collect()}
+    assert p  # the fixture buckets are all above the tiny cap
+    assert s == p
