@@ -196,6 +196,32 @@ def _q_ratio_test_orders(spark, sf_dir):
     ).select("l_orderkey", F.round("s1", 6).alias("s1"), F.round("s2", 6).alias("s2"))
 
 
+def _q_ratio_delta_orders(spark, sf_dir):
+    """D1 variant through the ENGINE's ratio_test operator
+    (decision.py ratio_test; reference
+    dynamic_entity_resolution.py:311-324 applies ratio AND delta):
+    best-vs-runner-up must clear BOTH s1/s2 >= 1.2 and
+    s1 - s2 >= 20000."""
+    from energy_aware_entity_resolution_spark.operators.decision import (
+        ratio_test,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    directed = li.select(
+        F.col("l_orderkey").alias("src"),
+        F.col("l_linenumber").alias("dst"),
+        F.col("l_extendedprice").alias("score"),
+    )
+    ranked = directed.withColumn("rank", F.row_number().over(w))
+    kept = ratio_test(ranked, ratio=1.2, delta=20000.0)
+    return kept.select(
+        F.col("src").alias("l_orderkey"),
+        F.round("score", 6).alias("s1"),
+        F.round(F.coalesce("s2", F.lit(-1.0)), 6).alias("s2"),
+    )
+
+
 def _q_mutual_top1(spark, sf_dir):
     """D3: reciprocal nearest neighbor as one equi-join (customers ↔
     suppliers within a nation by closest account balance)."""
@@ -700,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_idf": _q_token_idf,
         "topk_per_group": _q_topk_per_group,
         "ratio_test_orders": _q_ratio_test_orders,
+        "ratio_delta_orders": _q_ratio_delta_orders,
         "mutual_top1": _q_mutual_top1,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_band_keys": _q_lsh_band_keys,
@@ -1227,6 +1254,22 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(s2, -1.0), 6) AS s2
             FROM ranked
             WHERE rn = 1 AND (s2 IS NULL OR round(l_extendedprice / s2, 6) >= 1.2)
+        """,
+        "ratio_delta_orders": """
+            WITH ranked AS (
+              SELECT l_orderkey, l_extendedprice,
+                     row_number() OVER w AS rn,
+                     lead(l_extendedprice) OVER w AS s2
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice DESC, l_linenumber ASC)
+            )
+            SELECT l_orderkey, round(l_extendedprice, 6) AS s1,
+                   round(coalesce(s2, -1.0), 6) AS s2
+            FROM ranked
+            WHERE rn = 1 AND (s2 IS NULL OR
+                  (l_extendedprice / greatest(s2, 0.000000001) >= 1.2
+                   AND l_extendedprice - s2 >= 20000.0))
         """,
         "mutual_top1": """
             WITH pairs AS (

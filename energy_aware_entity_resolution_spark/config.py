@@ -73,6 +73,11 @@ class ScoringConfig:
     match_threshold: float = 0.72
     direct_threshold: float = 0.95  # D2: bypasses ratio test (ref: 0.95)
     ratio_threshold: float = 1.0  # D1: s1/s2 >= ratio (1.0 = disabled)
+    # D1 delta test: s1 - s2 >= delta, applied ALONGSIDE the ratio on
+    # a record's best edge (reference applies ratio AND/OR delta,
+    # dynamic_entity_resolution.py:311-324; 0.0 = disabled — rank-1
+    # always has s1 >= s2, so the default is a no-op)
+    delta_threshold: float = 0.0
     top_k: int = 10  # D6 neighbor cap (ref top_k 10)
     mutual_only: bool = False  # D3 strict reciprocal-NN
 

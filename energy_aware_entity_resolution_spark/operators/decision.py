@@ -119,9 +119,15 @@ def decide_matches(scored: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.lit("direct").alias("decision"),
         )
     )
+    # D1 composition: ratio AND delta on the best edge (reference
+    # dynamic_entity_resolution.py:311-324 applies both; either
+    # disables at its neutral value — ratio 1.0, delta 0.0)
     passes = F.col("s2").isNull() | (
-        F.col("score") / F.greatest(F.col("s2"), F.lit(1e-9))
-        >= F.lit(sc.ratio_threshold)
+        (
+            F.col("score") / F.greatest(F.col("s2"), F.lit(1e-9))
+            >= F.lit(sc.ratio_threshold)
+        )
+        & (F.col("score") - F.col("s2") >= F.lit(sc.delta_threshold))
     )
     best = annotated.where(F.col("rank") == 1).where(passes)
     if sc.mutual_only:

@@ -388,8 +388,14 @@ def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def _is_global_mode(cfg: PipelineConfig) -> bool:
-    """True when decisions read full neighborhoods (module docstring)."""
-    return cfg.scoring.ratio_threshold != 1.0 or cfg.scoring.mutual_only
+    """True when decisions read full neighborhoods (module docstring).
+    The delta test reads the runner-up like the ratio test does, so it
+    forces global re-decision semantics too."""
+    return (
+        cfg.scoring.ratio_threshold != 1.0
+        or cfg.scoring.mutual_only
+        or cfg.scoring.delta_threshold > 0.0
+    )
 
 
 def _endpoints(pairs: DataFrame) -> DataFrame:

@@ -165,3 +165,81 @@ def test_mutual_top1(spark):
     mutual = {(r["src"], r["dst"]) for r in mutual_top1(best).collect()}
     assert ("a", "b") in mutual and ("b", "a") in mutual
     assert ("c", "b") not in mutual  # b's best is a, not c
+
+
+def test_decide_matches_delta_threshold_configs(spark):
+    """D1 delta wiring (reference dynamic_entity_resolution.py:311-324
+    applies ratio AND/OR delta): delta-only and ratio+delta configs
+    must be expressible through ScoringConfig/decide_matches, and the
+    default delta=0.0 must be a no-op."""
+    from energy_aware_entity_resolution_spark.config import (
+        PipelineConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.operators.decision import (
+        decide_matches,
+    )
+
+    rows = [
+        ("a", "b", 0.90),  # a's best; runner-up 0.80 -> gap 0.10
+        ("a", "c", 0.80),
+        ("b", "c", 0.80),  # gives b a runner-up too (gap 0.10)
+        ("d", "e", 0.90),  # d's best; runner-up 0.50 -> gap 0.40
+        ("d", "f", 0.50),
+    ]
+    scored = spark.createDataFrame(
+        rows, "conv_id_a string, conv_id_b string, score double"
+    )
+
+    def pairs(cfg):
+        return {
+            (r["conv_id_a"], r["conv_id_b"])
+            for r in decide_matches(scored, PipelineConfig(scoring=cfg)).collect()
+        }
+
+    base = ScoringConfig(match_threshold=0.7, direct_threshold=2.0)
+    # delta-only: gap >= 0.25 keeps (d,e), drops (a,b)
+    delta_only = pairs(
+        ScoringConfig(
+            match_threshold=0.7, direct_threshold=2.0, delta_threshold=0.25
+        )
+    )
+    assert ("d", "e") in delta_only and ("a", "b") not in delta_only
+    # ratio+delta: ratio 1.05 alone keeps both best edges (0.9/0.8 =
+    # 1.125, 0.9/0.5 = 1.8); adding delta 0.25 prunes (a,b) only
+    both = pairs(
+        ScoringConfig(
+            match_threshold=0.7,
+            direct_threshold=2.0,
+            ratio_threshold=1.05,
+            delta_threshold=0.25,
+        )
+    )
+    assert ("d", "e") in both and ("a", "b") not in both
+    ratio_only = pairs(
+        ScoringConfig(
+            match_threshold=0.7, direct_threshold=2.0, ratio_threshold=1.05
+        )
+    )
+    assert ("a", "b") in ratio_only and ("d", "e") in ratio_only
+    # default delta=0.0 is a no-op
+    assert pairs(base) == pairs(
+        ScoringConfig(
+            match_threshold=0.7, direct_threshold=2.0, delta_threshold=0.0
+        )
+    )
+
+
+def test_delta_threshold_forces_global_incremental_mode():
+    from energy_aware_entity_resolution_spark.config import (
+        PipelineConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        _is_global_mode,
+    )
+
+    assert not _is_global_mode(PipelineConfig())
+    assert _is_global_mode(
+        PipelineConfig(scoring=ScoringConfig(delta_threshold=0.1))
+    )
