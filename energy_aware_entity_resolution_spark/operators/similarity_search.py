@@ -50,6 +50,14 @@ from energy_aware_entity_resolution_spark.functions.portable_hash import (
 )
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    """Spark type string of the id column — ANN output schemas carry
+    the INPUT's id type (long for the synthetic fixtures, string for
+    the pipeline's natural conv_id key), so real pipeline embeddings
+    flow through PQ/IVF-PQ/block_topk without a caller-side remap."""
+    return df.schema[id_col].dataType.simpleString()
+
+
 def _cosine(a, b):
     # widen to double BEFORE multiplying: float*float products lose
     # bits that can flip the 6th rounded decimal vs engines that
@@ -392,6 +400,8 @@ def block_topk_applyinpandas(
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
+        if ids.dtype == object:  # string ids: lexsort needs unicode dtype
+            ids = ids.astype("U")
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -414,12 +424,13 @@ def block_topk_applyinpandas(
             rows, columns=["query_id", "neighbor_id", "cosine", "rank"]
         )
 
+    idt = _id_type(vectors, id_col)
     return (
         vectors.select(F.col(block_col).alias("_blk"), id_col, vec_col)
         .groupBy("_blk")
         .applyInPandas(
             per_block,
-            schema="query_id long, neighbor_id long, cosine double, rank int",
+            schema=f"query_id {idt}, neighbor_id {idt}, cosine double, rank int",
         )
     )
 
@@ -600,7 +611,9 @@ def pq_encode(
                 {"_id": pdf[id_col], "codes": list(codes)}
             ).rename(columns={"_id": id_col})
 
-    return vectors.mapInPandas(op, schema=f"{id_col} long, codes array<long>")
+    return vectors.mapInPandas(
+        op, schema=f"{id_col} {_id_type(vectors, id_col)}, codes array<long>"
+    )
 
 
 def pq_topk(
@@ -638,10 +651,11 @@ def pq_topk(
     split the query table or use bucketed/ivf search for query sets
     that large."""
     spark = codes.sparkSession
+    idt = _id_type(codes, id_col)
     luts = _pq_query_luts(queries, codebooks, id_col, vec_col)
     if luts is None:  # no queries -> empty result with the right schema
         out_schema = (
-            "query_id long, neighbor_id long, "
+            f"query_id {idt}, neighbor_id {idt}, "
             + ("cosine double" if rerank_with is not None else "approx_dot double")
             + ", rank int"
         )
@@ -678,14 +692,14 @@ def pq_topk(
                 for ci in cand:
                     if ids[ci] != qids_[qi]:
                         rows.append(
-                            (qids_[qi], int(ids[ci]), round(float(scores[ci, qi]), 6))
+                            (qids_[qi], ids[ci], round(float(scores[ci, qi]), 6))
                         )
             yield pd.DataFrame(
                 rows, columns=["query_id", "neighbor_id", "approx_dot"]
             )
 
     cand = codes.mapInPandas(
-        op, schema="query_id long, neighbor_id long, approx_dot double"
+        op, schema=f"query_id {idt}, neighbor_id {idt}, approx_dot double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_dot"), F.asc("neighbor_id")
@@ -756,6 +770,7 @@ def ivf_pq_topk(
     Queries must be broadcastable (same guarded contract as pq_topk);
     pass codes= to reuse a precomputed pq_encode table."""
     spark = vectors.sparkSession
+    idt = _id_type(vectors, id_col)
     if centroids is None:
         if n_cells is None:
             n_cells = max(1, round(vectors.count() / target_cell_rows))
@@ -765,7 +780,7 @@ def ivf_pq_topk(
     luts = _pq_query_luts(queries, codebooks, id_col, vec_col)
     if luts is None:
         out_schema = (
-            "query_id long, neighbor_id long, "
+            f"query_id {idt}, neighbor_id {idt}, "
             + ("cosine double" if rerank_with is not None else "approx_dot double")
             + ", rank int"
         )
@@ -802,7 +817,7 @@ def ivf_pq_topk(
             )
 
     scored = cand.mapInPandas(
-        op, schema="query_id long, neighbor_id long, approx_dot double"
+        op, schema=f"query_id {idt}, neighbor_id {idt}, approx_dot double"
     )
     shortlist_k = topk * oversample if rerank_with is not None else topk
     w = Window.partitionBy("query_id").orderBy(

@@ -346,3 +346,77 @@ def test_pq_degenerate_inputs(spark, unit_vectors):
         pq_topk(codes, empty, books, topk=3, rerank_with=unit_vectors).count()
         == 0
     )
+
+
+def test_ann_string_ids_end_to_end(spark, unit_vectors):
+    """The ANN family must carry the INPUT's id type through its Arrow
+    schemas: the engine's natural key is conv_id STRING, so pipeline
+    embeddings flow through PQ / IVF-PQ / block_topk without a
+    caller-side remap. Same vectors under string ids must produce the
+    SAME neighbor structure as the long-id run (ids mapped 1:1)."""
+    from pyspark.sql import functions as F
+
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        block_topk_applyinpandas,
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    sv = unit_vectors.select(
+        F.format_string("c%06d", F.col("vec_id")).alias("conv_id"),
+        F.col("embedding"),
+    ).cache()
+    sv.count()
+
+    def as_str(i):
+        return f"c{i:06d}"
+
+    books = pq_codebooks(unit_vectors, m=8, k=16, train_rows=256, iters=5)
+    sbooks = pq_codebooks(
+        sv, m=8, k=16, id_col="conv_id", train_rows=256, iters=5
+    )
+    # codebooks train on a hash-ordered id sample — the id REPRESENTATION
+    # changes the sample order, so compare structures per-variant, not
+    # cross-variant codes. Long-id run:
+    codes_l = pq_encode(unit_vectors, books)
+    out_l = pq_topk(codes_l, unit_vectors.limit(5), books, topk=3,
+                    rerank_with=unit_vectors)
+    want = {
+        (as_str(r["query_id"]), as_str(r["neighbor_id"]), r["rank"])
+        for r in out_l.collect()
+    }
+    assert len(want) == 15
+
+    # string-id run end-to-end with the SAME codebooks (books trained
+    # on identical vectors -> identical float arrays is not guaranteed
+    # across samples; reuse books so the comparison isolates id typing)
+    codes_s = pq_encode(sv, books, id_col="conv_id")
+    assert dict(codes_s.dtypes)["conv_id"] == "string"
+    out_s = pq_topk(codes_s, sv.limit(5), books, topk=3, id_col="conv_id",
+                    rerank_with=sv)
+    assert dict(out_s.dtypes)["neighbor_id"] == "string"
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in out_s.collect()
+    }
+    assert got == want
+
+    ivf_s = ivf_pq_topk(
+        sv, sv.limit(5), books, topk=3, n_cells=8, nprobe=3,
+        id_col="conv_id", rerank_with=sv,
+    )
+    assert dict(ivf_s.dtypes)["query_id"] == "string"
+    rows = ivf_s.collect()
+    assert len(rows) == 15 and all(r["neighbor_id"].startswith("c") for r in rows)
+
+    blocked = sv.withColumn(
+        "blk", (F.xxhash64("conv_id") % 2 == 0).cast("int")
+    )
+    bt = block_topk_applyinpandas(blocked, "blk", k=2, id_col="conv_id")
+    assert dict(bt.dtypes)["query_id"] == "string"
+    assert bt.count() > 0
+    # per-query ranks are 1..k and neighbors stay inside the block
+    one = bt.where(F.col("query_id") == as_str(0)).collect()
+    assert sorted(r["rank"] for r in one) == list(range(1, len(one) + 1))
+    assert sbooks is not None  # string-id codebook training also runs
