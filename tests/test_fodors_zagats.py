@@ -139,3 +139,45 @@ def test_incremental_on_real_data(spark, fodors, tmp_path):
     best = grid.orderBy(F.desc("f1")).limit(1).collect()[0]
     assert best["f1"] >= 0.85, dict(best.asDict())
     scored.unpersist()
+
+
+def test_streaming_twin_on_real_data(spark, fodors, tmp_path):
+    """The REAL golden dataset through the Structured Streaming twin
+    (file source -> foreachBatch -> shared incremental step): the last
+    untested combination of (golden data x execution mode). Same bars
+    as batch and chunked-incremental: full candidate recall on the 110
+    labeled pairs and best-grid F1 >= 0.85."""
+    from tests.test_streaming import _stage_parquet_chunks
+
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        last_complete_batch,
+    )
+    from energy_aware_entity_resolution_spark.streaming.structured import (
+        file_reader,
+        stream_incremental_er,
+    )
+
+    ents, truth, _ = fodors
+    src = _stage_parquet_chunks(
+        spark, linkage_transcripts(ents), str(tmp_path / "fz_src"), 3
+    )
+    state = str(tmp_path / "fz_state")
+    q = stream_incremental_er(
+        file_reader(spark, src, max_files_per_trigger=1),
+        LINKAGE_CFG,
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "fz_ckpt"),
+    )
+    q.awaitTermination(600)
+    assert last_complete_batch(state) == 2  # three micro-batches committed
+    scored = cross_source_filter(
+        spark.read.parquet(f"{state}/scored_rounds")
+        .select("conv_id_a", "conv_id_b", "score"),
+        ents,
+    ).cache()
+    hit = truth.join(scored, ["conv_id_a", "conv_id_b"], "left_semi").count()
+    assert hit == 110
+    grid = evaluation_grid(scored, truth.select("conv_id_a", "conv_id_b"))
+    best = grid.orderBy(F.desc("f1")).limit(1).collect()[0]
+    assert best["f1"] >= 0.85, dict(best.asDict())
+    scored.unpersist()
