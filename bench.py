@@ -205,11 +205,54 @@ def run_er_pipeline(spark, n_convs: int) -> dict:
     }
 
 
+# Throttle defense (the round-4 lesson: the driver's official run
+# landed in a host throttle window and its artifact contradicted the
+# adjacent committed run purely from VM noise — identical binaries
+# produced 39-191 s walls within ONE artifact). The adjacent
+# pure-compute probe runs IDENTICAL work every rep, so a rep whose
+# probe throughput drops below best-observed/1.5 at its level ran in a
+# throttled window; such reps are excluded from the medians and the
+# bench AUTOMATICALLY runs extra interleaved passes (up to
+# _THROTTLE_MAX_EXTRA) until _THROTTLE_MIN_CLEAN clean pairs exist.
+# The artifact is self-describing either way: throttle_detected, the
+# clean-rep list and per-rep normalized efficiencies ship in the
+# compact stdout JSON.
+_THROTTLE_FACTOR = 1.5
+_THROTTLE_MIN_CLEAN = 3
+_THROTTLE_MAX_EXTRA = 5
+
+
+def _clean_reps_of(runs: list[dict]) -> tuple[list[int], bool]:
+    """(rep ids whose BOTH runs are probe-clean, any_throttled). A run
+    is clean when its adjacent probe throughput is within
+    _THROTTLE_FACTOR of the best observed at its level — the probe is
+    identical work, so any larger deficit is host delivery, not code."""
+    best = {}
+    for r in runs:
+        best[r["cores"]] = max(
+            best.get(r["cores"], 0.0), r["machine_hash_per_sec"]
+        )
+    clean_run = {
+        (r["rep"], r["cores"]): r["machine_hash_per_sec"]
+        >= best[r["cores"]] / _THROTTLE_FACTOR
+        for r in runs
+    }
+    reps = sorted({r["rep"] for r in runs})
+    clean = [
+        rep
+        for rep in reps
+        if clean_run[(rep, SCALE_LOW)] and clean_run[(rep, SCALE_HIGH)]
+    ]
+    return clean, len(clean) < len(reps)
+
+
 def _measure_scaling() -> dict:
-    """Interleaved A/B/A/B scaling measurement (module docstring)."""
+    """Interleaved A/B/A/B scaling measurement (module docstring),
+    with automatic extra passes while throttle windows eat reps."""
     runs: list[dict] = []
     warmed: set[int] = set()
-    for rep in range(N_REPEATS):
+
+    def one_pass(rep: int) -> None:
         for level in (SCALE_LOW, SCALE_HIGH):
             s = _new_spark(level)
             # first visit per level: big warmup (JIT + codegen); later
@@ -231,9 +274,25 @@ def _measure_scaling() -> dict:
             )
             s.stop()
 
-    factor = SCALE_HIGH / SCALE_LOW
-    per_rep = []
     for rep in range(N_REPEATS):
+        one_pass(rep)
+    clean, throttled = _clean_reps_of(runs)
+    extra = 0
+    want_clean = min(_THROTTLE_MIN_CLEAN, max(N_REPEATS, 1))
+    while len(clean) < want_clean and extra < _THROTTLE_MAX_EXTRA:
+        print(
+            f"[bench] throttle window detected ({len(clean)} clean of "
+            f"{N_REPEATS + extra} reps) — running an extra pass",
+            file=sys.stderr,
+        )
+        one_pass(N_REPEATS + extra)
+        extra += 1
+        clean, throttled = _clean_reps_of(runs)
+
+    factor = SCALE_HIGH / SCALE_LOW
+    all_reps = sorted({r["rep"] for r in runs})
+    per_rep = []
+    for rep in all_reps:
         lo = next(r for r in runs if r["rep"] == rep and r["cores"] == SCALE_LOW)
         hi = next(r for r in runs if r["rep"] == rep and r["cores"] == SCALE_HIGH)
         speedup = lo["wall_s"] / hi["wall_s"]
@@ -246,6 +305,7 @@ def _measure_scaling() -> dict:
         per_rep.append(
             {
                 "rep": rep,
+                "clean": rep in clean,
                 "wall_low_s": lo["wall_s"],
                 "wall_high_s": hi["wall_s"],
                 "speedup": round(speedup, 3),
@@ -260,38 +320,39 @@ def _measure_scaling() -> dict:
             }
         )
 
+    # medians come from CLEAN (probe-certified) reps only; if the host
+    # never leaves the throttle window, fall back to all reps — the
+    # throttle_detected flag + per-rep lists make that visible
+    med_src = [p for p in per_rep if p["clean"]] or per_rep
+    med_reps = {p["rep"] for p in med_src}
+
     def med(key: str) -> float:
-        return round(statistics.median(p[key] for p in per_rep), 3)
+        return round(statistics.median(p[key] for p in med_src), 3)
 
     def level_summary(level: int) -> dict:
-        walls = [r["wall_s"] for r in runs if r["cores"] == level]
-        any_run = next(r for r in runs if r["cores"] == level)
-        wall = statistics.median(walls)
+        lruns = [
+            r for r in runs if r["cores"] == level and r["rep"] in med_reps
+        ]
+        walls_all = [r["wall_s"] for r in runs if r["cores"] == level]
+        any_run = lruns[0]
+        wall = statistics.median(r["wall_s"] for r in lruns)
         return {
             "n_convs": any_run["n_convs"],
             "n_turns": any_run["n_turns"],
             "wall_s": round(wall, 2),
-            "wall_s_all": walls,
+            "wall_s_all": walls_all,
             "cpu_s": round(
-                statistics.median(
-                    r["cpu_s"] for r in runs if r["cores"] == level
-                ),
-                2,
+                statistics.median(r["cpu_s"] for r in lruns), 2
             ),
             "scored_pairs": any_run["scored_pairs"],
             "scored_pairs_per_sec": round(any_run["scored_pairs"] / wall, 1),
             "turns_per_sec": round(any_run["n_turns"] / wall, 1),
             "machine_hash_per_sec": round(
-                statistics.median(
-                    r["machine_hash_per_sec"] for r in runs if r["cores"] == level
-                ),
-                1,
+                statistics.median(r["machine_hash_per_sec"] for r in lruns), 1
             ),
             "core_utilization": round(
                 statistics.median(
-                    r["cpu_s"] / (r["wall_s"] * level)
-                    for r in runs
-                    if r["cores"] == level
+                    r["cpu_s"] / (r["wall_s"] * level) for r in lruns
                 ),
                 3,
             ),
@@ -299,11 +360,19 @@ def _measure_scaling() -> dict:
 
     return {
         "protocol": (
-            f"interleaved A/B x{N_REPEATS} reps, per-rep adjacent-pair "
-            "ratios, medians reported; cpu_s = JVM process CPU (noise-"
-            "immune); probe = pure-compute hardware ceiling adjacent to "
-            "each run"
+            f"interleaved A/B x{len(all_reps)} reps, per-rep adjacent-pair "
+            "ratios, medians over probe-certified CLEAN reps (probe within "
+            f"{_THROTTLE_FACTOR}x of best at its level; throttled reps "
+            "excluded, extra passes run until "
+            f"{_THROTTLE_MIN_CLEAN} clean); cpu_s = JVM process CPU "
+            "(noise-immune); probe = pure-compute hardware ceiling "
+            "adjacent to each run"
         ),
+        "throttle_detected": throttled,
+        "clean_reps": clean,
+        "per_rep_normalized_efficiency": [
+            p["normalized_efficiency"] for p in per_rep
+        ],
         "n_low_cores": SCALE_LOW,
         "n_high_cores": SCALE_HIGH,
         "low": level_summary(SCALE_LOW),
@@ -355,6 +424,7 @@ def main() -> None:
         "query_raw_samples": qraw,
         "sf": SF_DIR,
         "scored_pairs_per_sec": scaling["high"]["scored_pairs_per_sec"],
+        "throttle_detected": scaling["throttle_detected"],
         "scaling_efficiency": scaling["efficiency"],
         "normalized_scaling_efficiency": scaling["normalized_efficiency"],
         "cpu_ratio_high_over_low": scaling["cpu_ratio"],
@@ -428,15 +498,23 @@ def _write_bench_md(out: dict) -> None:
         "Per-rep adjacent pairs (each rep's low/high ran back-to-back, so",
         "host noise cancels out of the ratio):",
         "",
-        "| rep | wall low | wall high | speedup | ceiling | normalized eff | cpu ratio | probe cpu ratio | engine overhead |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| rep | clean | wall low | wall high | speedup | ceiling | normalized eff | cpu ratio | probe cpu ratio | engine overhead |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for p in s["per_rep"]:
         lines.append(
-            f"| {p['rep']} | {p['wall_low_s']} | {p['wall_high_s']} "
+            f"| {p['rep']} | {'yes' if p['clean'] else 'THROTTLED'} "
+            f"| {p['wall_low_s']} | {p['wall_high_s']} "
             f"| {p['speedup']} | {p['ceiling_speedup']} "
             f"| {p['normalized_efficiency']} | {p['cpu_ratio']} "
             f"| {p['probe_cpu_ratio']} | {p['engine_cpu_overhead']} |"
+        )
+    if s["throttle_detected"]:
+        lines.append(
+            "\nTHROTTLED reps ran in a host window whose adjacent "
+            "pure-compute probe fell below best/1.5 at the same level — "
+            "identical work, so the deficit is delivery, not code; "
+            "medians above use the clean reps only."
         )
     lines += [
         "",

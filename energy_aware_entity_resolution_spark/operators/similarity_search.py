@@ -446,12 +446,14 @@ _PQ_QUERY_MAX_BYTES = 256 * 1024 * 1024
 
 def _pq_query_luts(
     queries: DataFrame, codebooks: list, id_col: str, vec_col: str
-) -> tuple[list, np.ndarray] | None:
+) -> tuple[list, np.ndarray, np.ndarray] | None:
     """Guarded driver-side ADC lookup-table build shared by pq_topk and
     ivf_pq_topk: (query ids, LUT[q, j, c] = <query_q sub_j,
-    codebook_j[c]>), or None for an empty query table. Raises on query
-    tables above the row/byte guards (broadcastable-queries contract —
-    same fail-fast principle as the remap/CC driver paths)."""
+    codebook_j[c]>, query matrix), or None for an empty query table.
+    Raises on query tables above the row/byte guards
+    (broadcastable-queries contract — same fail-fast principle as the
+    remap/CC driver paths). The query matrix rides along for the
+    residual IVF-PQ bias term (<q, centroid_cell>)."""
     q = (
         queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
         .limit(_PQ_QUERY_MAX_ROWS + 1)
@@ -482,7 +484,7 @@ def _pq_query_luts(
         [qmat[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(m)],
         axis=1,
     )
-    return qids, lut
+    return qids, lut, qmat
 
 
 def _exact_rerank(
@@ -660,7 +662,7 @@ def pq_topk(
             + ", rank int"
         )
         return spark.createDataFrame([], out_schema)
-    qids, lut = luts
+    qids, lut, _ = luts
     m = len(codebooks)
     bc = spark.sparkContext.broadcast((qids, lut.tolist()))
     # each Arrow batch must surface the FULL shortlist size, not just
@@ -715,11 +717,55 @@ def pq_topk(
     return _exact_rerank(shortlist, queries, rerank_with, topk, id_col, vec_col)
 
 
+def _residual_vectors(
+    vectors_owned: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, residual vec, cell_id): r = x - centroid(cell(x)), the
+    quantity residual IVF-PQ encodes (Jégou et al. TPAMI'11 §V —
+    residual energy ≪ vector energy on clustered data, so the same
+    m-byte budget quantizes much finer). Pure JVM zip_with over the
+    broadcast centroid join — no UDF, no shuffle of the big side."""
+    return vectors_owned.join(F.broadcast(centroids), "cell_id").select(
+        id_col,
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+            lambda x, c: (x - c).cast("float"),
+        ).alias(vec_col),
+        "cell_id",
+    )
+
+
+def ivf_pq_residual_codebooks(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 4096,
+    iters: int = 10,
+) -> list:
+    """PQ codebooks trained on IVF RESIDUALS (x - centroid(x)) — the
+    production IVF-PQ layout shares ONE residual codebook set across
+    cells (Jégou TPAMI'11 §V), so the ADC LUT build stays per-query,
+    not per-(query, cell)."""
+    owned = ivf_assign(vectors, None, id_col, vec_col, centroids=centroids)
+    res = _residual_vectors(owned, centroids, id_col, vec_col)
+    return pq_codebooks(
+        res.select(id_col, vec_col), m, k, id_col, vec_col, train_rows, iters
+    )
+
+
 def ivf_pq_candidates(
     codes: DataFrame,
     owned: DataFrame,
     query_probes: DataFrame,
     id_col: str = "vec_id",
+    keep_cell: bool = False,
 ) -> DataFrame:
     """Cell-pruned (query_id, neighbor codes) candidates — the
     inverted-list layout of FAISS IVF-PQ as an equi-join: codes gain
@@ -728,13 +774,17 @@ def ivf_pq_candidates(
     count per query ≈ nprobe × N / n_cells instead of N — both the
     scan and the ADC compute shrink by the cell-pruning factor.
     Exposed separately so callers (and tests) can measure the scanned
-    candidate count."""
+    candidate count. keep_cell=True retains the candidate's OWNING
+    cell_id (the residual path needs it for the <q, centroid> bias)."""
     inv = codes.join(owned.select(id_col, "cell_id"), id_col)
     qp = query_probes.select("cell_id", F.col(id_col).alias("query_id"))
+    cols = ["query_id", F.col(id_col).alias("neighbor_id"), "codes"]
+    if keep_cell:
+        cols.append(F.col("cell_id"))
     return (
         inv.join(qp, "cell_id")
         .where(F.col("query_id") != F.col(id_col))
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "codes")
+        .select(*cols)
     )
 
 
@@ -752,6 +802,7 @@ def ivf_pq_topk(
     rerank_with: DataFrame | None = None,
     oversample: int = 4,
     target_cell_rows: int = 4096,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the ADC scan cell-pruned to each query's nprobe nearest
     coarse cells — the actual billion-vector FAISS layout (Jégou et
@@ -767,6 +818,17 @@ def ivf_pq_topk(
     nprobe=3 of 8 cells); pruning also keeps unprobed-cell ADC-noise
     distractors out of the shortlist.
 
+    residual=True is the PRODUCTION encoding (Jégou §V): each vector's
+    codes quantize r = x - centroid(cell(x)) instead of x, so the same
+    m-byte budget spends its precision on the (much smaller) residual
+    — where IVF-PQ's recall at small m comes from. The approximate
+    score decomposes as <q, centroid_cell> + <q, r̂>: the first term is
+    a tiny (n_queries × n_cells) bias matrix (broadcast, cell_id rides
+    the candidate rows), the second the usual shared-codebook LUT
+    gathers. Pass codebooks trained on residuals
+    (ivf_pq_residual_codebooks); codes= is ignored under residual=True
+    (the encoding is centroid-relative).
+
     Queries must be broadcastable (same guarded contract as pq_topk);
     pass codes= to reuse a precomputed pq_encode table."""
     spark = vectors.sparkSession
@@ -775,7 +837,11 @@ def ivf_pq_topk(
         if n_cells is None:
             n_cells = max(1, round(vectors.count() / target_cell_rows))
         centroids = ivf_centroids(vectors, n_cells, id_col, vec_col)
-    if codes is None:
+    owned = ivf_assign(vectors, None, id_col, vec_col, centroids=centroids)
+    if residual:
+        res = _residual_vectors(owned, centroids, id_col, vec_col)
+        codes = pq_encode(res.select(id_col, vec_col), codebooks, id_col, vec_col)
+    elif codes is None:
         codes = pq_encode(vectors, codebooks, id_col, vec_col)
     luts = _pq_query_luts(queries, codebooks, id_col, vec_col)
     if luts is None:
@@ -785,25 +851,40 @@ def ivf_pq_topk(
             + ", rank int"
         )
         return spark.createDataFrame([], out_schema)
-    qids, lut = luts
-    owned = ivf_assign(vectors, None, id_col, vec_col, centroids=centroids)
+    qids, lut, qmat = luts
     probes = ivf_assign(
         queries, None, id_col, vec_col, centroids=centroids, nprobe=nprobe
     )
-    cand = ivf_pq_candidates(codes, owned, probes, id_col)
+    cand = ivf_pq_candidates(codes, owned, probes, id_col, keep_cell=residual)
     m = len(codebooks)
     qindex = {qid: i for i, qid in enumerate(qids)}
-    bc = spark.sparkContext.broadcast((qindex, lut.tolist()))
+    if residual:
+        # <q, centroid_c> bias: centroids are broadcastable by contract
+        # (ivf_assign broadcast-joins them already) — tiny driver matrix
+        cent_rows = centroids.collect()
+        cell_index = {r["cell_id"]: i for i, r in enumerate(cent_rows)}
+        cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+        bias = qmat @ cent_mat.T  # (nq, n_cells)
+        bc = spark.sparkContext.broadcast(
+            (qindex, lut.tolist(), cell_index, bias.tolist())
+        )
+    else:
+        bc = spark.sparkContext.broadcast((qindex, lut.tolist(), None, None))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qindex_, lut_ = bc.value
+        qindex_, lut_, cell_index_, bias_ = bc.value
         lut_ = np.asarray(lut_)  # (nq, m, k)
+        if bias_ is not None:
+            bias_ = np.asarray(bias_)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cmat = np.stack(pdf["codes"].to_numpy())  # (n, m)
             qidx = pdf["query_id"].map(qindex_).to_numpy(dtype=np.int64)
             scores = np.zeros(len(pdf), dtype=np.float64)
+            if bias_ is not None:
+                cidx = pdf["cell_id"].map(cell_index_).to_numpy(dtype=np.int64)
+                scores += bias_[qidx, cidx]
             for j in range(m):
                 # row r scores against ITS query's LUT: paired fancy
                 # indexing (qidx[r], j, codes[r, j]) — fully vectorized

@@ -420,3 +420,81 @@ def test_ann_string_ids_end_to_end(spark, unit_vectors):
     one = bt.where(F.col("query_id") == as_str(0)).collect()
     assert sorted(r["rank"] for r in one) == list(range(1, len(one) + 1))
     assert sbooks is not None  # string-id codebook training also runs
+
+
+def test_ivf_pq_residual_encoding_beats_raw(spark, unit_vectors):
+    """Residual IVF-PQ (Jégou TPAMI'11 §V: codes quantize
+    x - centroid(x), scored as <q, centroid_cell> + shared-codebook
+    LUT gathers): at the SAME m, codebook size, centroids and scan
+    budget (nprobe), the residual encoding must (a) approximate the
+    true inner product strictly better — residual energy ≪ vector
+    energy on clustered data, so the byte budget quantizes finer
+    (measured here: mean |ADC - true| ~0.018 vs ~0.028) — and (b)
+    reach at least the raw encoding's ADC-only recall at a depth where
+    ordering precision matters (top-5 on this tight fixture saturates
+    under rerank and both encodings tie; k=25 ADC-only separates
+    them, measured 0.618 vs 0.580)."""
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        ivf_pq_residual_codebooks,
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    queries = unit_vectors.limit(20).cache()
+    cents = ivf_centroids(unit_vectors, 8).cache()
+    cents.count()
+    raw_books = pq_codebooks(unit_vectors, m=8, k=16)
+    res_books = ivf_pq_residual_codebooks(unit_vectors, cents, m=8, k=16)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in unit_vectors.collect()
+    }
+
+    def adc_err(out):
+        errs = [
+            abs(
+                r["approx_dot"]
+                - float(vecs[r["query_id"]] @ vecs[r["neighbor_id"]])
+            )
+            for r in out.collect()
+        ]
+        return sum(errs) / len(errs)
+
+    # (a) full-scan ADC accuracy at identical budget
+    raw_full = ivf_pq_topk(
+        unit_vectors, queries, raw_books, topk=N, centroids=cents, nprobe=8
+    )
+    res_full = ivf_pq_topk(
+        unit_vectors, queries, res_books, topk=N, centroids=cents, nprobe=8,
+        residual=True,
+    )
+    e_raw, e_res = adc_err(raw_full), adc_err(res_full)
+    print(f"ADC err raw={e_raw:.4f} residual={e_res:.4f}")
+    assert e_res < e_raw
+
+    # (b) ADC-only recall at the same scan budget
+    exact = brute_force_topk(unit_vectors, queries, k=25).cache()
+    n_ex = exact.count()
+    raw = ivf_pq_topk(
+        unit_vectors, queries, raw_books, topk=25, centroids=cents, nprobe=3
+    )
+    resid = ivf_pq_topk(
+        unit_vectors, queries, res_books, topk=25, centroids=cents, nprobe=3,
+        residual=True,
+    )
+    r_raw = raw.join(exact, ["query_id", "neighbor_id"], "inner").count() / n_ex
+    r_res = (
+        resid.join(exact, ["query_id", "neighbor_id"], "inner").count() / n_ex
+    )
+    print(f"recall@25 raw={r_raw:.3f} residual={r_res:.3f}")
+    assert r_res >= r_raw
+    assert r_res >= 0.6
+    # determinism: same call, same result
+    again = ivf_pq_topk(
+        unit_vectors, queries, res_books, topk=25, centroids=cents, nprobe=3,
+        residual=True,
+    )
+    assert sorted(map(tuple, resid.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    exact.unpersist()
