@@ -57,7 +57,7 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_ER_CONVS", "240000"))
 N_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 N_QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
 PREV_BENCH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_r03_summary.json"
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_r04_summary.json"
 )
 
 BENCH_QUERIES = [
@@ -559,7 +559,7 @@ def _write_bench_md(out: dict) -> None:
         f"Per-query wall seconds at full parallelism (noop sink), MEDIAN",
         f"of {N_QUERY_REPEATS} repeats with the raw samples beside it; the",
         "`vs prev` column is this_round / previous_round medians",
-        "(BENCH_r03_summary.json; sub-1.5x ratios are host noise):",
+        "(BENCH_r04_summary.json; sub-1.5x ratios are host noise):",
         "",
         "| query | median s | raw samples | vs prev |",
         "|---|---|---|---|",
