@@ -11,7 +11,10 @@ over the same stage functions. State is APPEND-ONLY — per-batch cost is
 proportional to the BATCH, never to the accumulated state:
 
 - ``features/batch=N``   new conversations' features (delta, written once)
-- ``scored_rounds/round=N``  per-round scored-pair snapshot (W5)
+- ``scored_rounds/round=N``  per-round scored-pair snapshot (W5);
+  global mode also records each round's row count
+  (``round_counts/N``) so the adaptive decide gate sums a file ledger
+  instead of count-scanning the accumulated tree every batch
 - ``matches/batch=N``    match DELTAS (new×new ∪ new×state pairs only —
   old×old pairs were decided in earlier rounds and never re-explored,
   so a pair appears in exactly one batch)
@@ -137,7 +140,10 @@ def last_complete_batch(state_dir: str) -> int:
 
 
 def _incremental_candidates(
-    feats_new: DataFrame, all_feats: DataFrame, cfg: PipelineConfig
+    feats_new: DataFrame,
+    all_feats: DataFrame,
+    cfg: PipelineConfig,
+    n_new: int | None = None,
 ) -> DataFrame:
     """Stream-static candidate generation (J4): NEW records join
     against the full state on the blocking keys — old×old pairs were
@@ -147,7 +153,22 @@ def _incremental_candidates(
     LSH: new band keys × all band keys, capped on the state side.
     (Sorted-neighborhood is a global-order construct and is skipped in
     incremental mode — LSH+exact carry recall; documented deviation.)
-    """
+
+    STATE-SIDE RESTRICTION (the round-4 global-decide lesson applied
+    to candidates): when the batch is provably small (n_new — one
+    cheap count of the batch parquet), the batch's join-key sets
+    BROADCAST and the accumulated state is semi-FILTERED map-side
+    before any exchange — without this, both the exact join and the
+    cap_blocks count aggregate SHUFFLED the whole accumulated side
+    every batch (measured: score phase 2.1 s → 8.6 s over 80
+    2k-conversation micro-batches; see BASELINE.md). The restriction
+    is exact: a state row whose key matches no new key can join
+    nothing, and cap counts of surviving keys see all their rows, so
+    the capped-join output is IDENTICAL. Batches too large to certify
+    (or n_new=None from direct callers) keep the unrestricted
+    broadcast-free shape — a batch that large dominates the join
+    anyway, and a SHUFFLE semi-join would move the state more times
+    than the plain join does (the measured round-4 negative)."""
     new_keys = feats_new.select("conv_id", "bitmask", "sig_hash", "sig")
     all_keys = all_feats.select(
         F.col("conv_id").alias("conv_id_s"),
@@ -155,6 +176,22 @@ def _incremental_candidates(
         "sig_hash",
         F.col("sig").alias("sig_s"),
     )
+    bands_new_raw = lsh_bands(feats_new, cfg)
+    bands_state = lsh_bands(all_feats, cfg)
+    bands = cfg.blocking.minhash_bands
+    if n_new is not None and n_new * bands <= _BROADCAST_NODES_MAX:
+        all_keys = all_keys.join(
+            F.broadcast(new_keys.select("bitmask", "sig_hash").distinct()),
+            ["bitmask", "sig_hash"],
+            "left_semi",
+        )
+        bands_state = bands_state.join(
+            F.broadcast(
+                bands_new_raw.select("band_id", "band_hash").distinct()
+            ),
+            ["band_id", "band_hash"],
+            "left_semi",
+        )
     exact = (
         new_keys.join(all_keys, ["bitmask", "sig_hash"])
         .where(F.col("conv_id") != F.col("conv_id_s"))
@@ -165,10 +202,9 @@ def _incremental_candidates(
         )
     )
     bands_all = cap_blocks(
-        lsh_bands(all_feats, cfg), ["band_id", "band_hash"],
-        cfg.blocking.max_block_size,
+        bands_state, ["band_id", "band_hash"], cfg.blocking.max_block_size
     )
-    bands_new = lsh_bands(feats_new, cfg).withColumnRenamed("conv_id", "conv_id_n")
+    bands_new = bands_new_raw.withColumnRenamed("conv_id", "conv_id_n")
     lsh = (
         bands_new.join(bands_all, ["band_id", "band_hash"])
         .where(F.col("conv_id_n") != F.col("conv_id"))
@@ -592,7 +628,8 @@ def _cluster_delta_step(
         # itself is only scanned (broadcast semis), never shuffled
         # whole.
         tree = _cluster_tree(spark, state_dir, b - 1)
-        small_t = touched.count() <= _BROADCAST_NODES_MAX
+        n_touched = touched.count()
+        small_t = n_touched <= _BROADCAST_NODES_MAX
         t_assign = _latest_assignment(tree, touched, small_t)
         t_comps = (
             touched.join(t_assign, "conv_id", "left")
@@ -604,18 +641,17 @@ def _cluster_delta_step(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        tc = (
-            F.broadcast(t_comps)
-            if t_comps.count() <= _BROADCAST_NODES_MAX
-            else t_comps
-        )
+        # |t_comps| <= |touched| (each touched node maps to one
+        # component), so small_t certifies the broadcast — no count
+        tc = F.broadcast(t_comps) if small_t else t_comps
         cand_ids = (
             tree.join(tc, "component_id", "left_semi")
             .select("conv_id")
             .distinct()
             .localCheckpoint(eager=True)
         )
-        small_cand = cand_ids.count() <= _BROADCAST_NODES_MAX
+        n_cand = cand_ids.count()
+        small_cand = n_cand <= _BROADCAST_NODES_MAX
         members = (
             _latest_assignment(tree, cand_ids, small_cand)
             .join(tc, "component_id", "left_semi")
@@ -623,9 +659,11 @@ def _cluster_delta_step(
         )
         region_ids = members.unionByName(touched).distinct()
         region_ids = region_ids.localCheckpoint(eager=True)
+        # region ⊆ cand ∪ touched — the bound sum replaces its count
+        small_r = n_cand + n_touched <= _BROADCAST_NODES_MAX
     else:
         region_ids = touched
-    small_r = region_ids.count() <= _BROADCAST_NODES_MAX
+        small_r = region_ids.count() <= _BROADCAST_NODES_MAX
     cur = accumulated_matches(spark, state_dir, upto_batch=b)
     edges = _pairs_incident(
         cur.select("conv_id_a", "conv_id_b"), region_ids, small_r
@@ -827,6 +865,35 @@ def round_evaluation_timeseries(
     return out.orderBy("round")
 
 
+def _write_round_count(state_dir: str, b: int, n: int) -> None:
+    """Record this round's scored-delta row count (global mode). The
+    adaptive decide gate needs n_accumulated every batch; summing the
+    per-round ledger is O(batches) file reads instead of an
+    O(accumulated) columnar count scan per batch — at thousands of
+    micro-batches the count scan alone was a growing per-batch tax.
+    Idempotent overwrite (a resumed batch rewrites the same value)."""
+    d = os.path.join(state_dir, "round_counts")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{b:04d}"), "w") as f:
+        f.write(str(n))
+
+
+def _sum_round_counts(state_dir: str, upto_batch: int) -> int | None:
+    """Sum of recorded scored-delta counts for rounds 0..upto_batch, or
+    None when any round's record is missing (legacy state written
+    before the ledger existed — caller falls back to counting)."""
+    d = os.path.join(state_dir, "round_counts")
+    total = 0
+    for b in range(upto_batch + 1):
+        p = os.path.join(d, f"{b:04d}")
+        try:
+            with open(p) as f:
+                total += int(f.read())
+        except (OSError, ValueError):
+            return None
+    return total
+
+
 def epoch_already_processed(state_dir: str, epoch_marker: str) -> bool:
     """True iff a done marker carrying this content exists — the
     foreachBatch replay guard. Structured Streaming's foreachBatch is
@@ -901,11 +968,27 @@ def process_one_batch(
     feats_new = spark.read.parquet(
         os.path.join(state_dir, "features", f"batch={b}")
     )
+    n_new = feats_new.count()  # batch-sized parquet; certifies the
+    # broadcast-restriction gates below
     _t_feat = time.monotonic()
 
-    # 2. stream-static candidates + scoring; per-round snapshot (W5)
-    cands = _incremental_candidates(feats_new, all_feats, cfg)
-    scored = score_pairs(cands, all_feats, cfg)
+    # 2. stream-static candidates + scoring; per-round snapshot (W5).
+    # Candidates are batch-sized: localCheckpoint them so (a) the
+    # endpoint set for the feature-lookup restriction doesn't
+    # recompute the candidate joins and (b) scoring starts from
+    # materialized pairs. With the endpoint set broadcast, the
+    # feature-attach joins in score_pairs shuffle only looked-up
+    # feature rows instead of the whole accumulated state per batch.
+    cands = _incremental_candidates(
+        feats_new, all_feats, cfg, n_new=n_new
+    ).localCheckpoint(eager=True)
+    n_pairs = cands.count()
+    feats_lookup = all_feats
+    if 2 * n_pairs <= _BROADCAST_NODES_MAX:
+        feats_lookup = all_feats.join(
+            F.broadcast(_endpoints(cands)), "conv_id", "left_semi"
+        )
+    scored = score_pairs(cands, feats_lookup, cfg)
     if scored_snapshots:
         scored.write.mode("overwrite").parquet(
             os.path.join(state_dir, "scored_rounds", f"round={b}")
@@ -932,14 +1015,20 @@ def process_one_batch(
         delta = spark.read.parquet(
             os.path.join(state_dir, "scored_rounds", f"round={b}")
         )
+        n_delta = delta.count()
+        _write_round_count(state_dir, b, n_delta)
         if b > 0:  # any earlier batch (fresh or resumed) wrote state
             acc = (
                 spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
                 .where(F.col("round") <= b)
                 .drop("round")
             )
-            n_delta = delta.count()
-            n_acc = acc.count()
+            # accumulated size from the per-round count ledger — an
+            # O(batches) file-read instead of an O(accumulated) scan
+            # per batch; legacy states (no ledger) fall back to the
+            # scan once and are covered from their next batch on
+            prev_n = _sum_round_counts(state_dir, b - 1)
+            n_acc = prev_n + n_delta if prev_n is not None else acc.count()
             decide_path = (
                 "full"
                 if n_acc <= _FULL_REDECIDE_MAX_RATIO * max(n_delta, 1)
@@ -977,7 +1066,12 @@ def process_one_batch(
                 affected = _endpoints(delta.select(*keys)).localCheckpoint(
                     eager=True
                 )
-                small = affected.count() <= _BROADCAST_NODES_MAX
+                # |affected| <= 2 * n_delta, so the common micro-batch
+                # case proves broadcastability without a count action
+                small = (
+                    2 * n_delta <= _BROADCAST_NODES_MAX
+                    or affected.count() <= _BROADCAST_NODES_MAX
+                )
                 frontier = _endpoints(
                     _pairs_incident(acc, affected, small).select(*keys)
                 ).localCheckpoint(eager=True)
