@@ -10,11 +10,21 @@ this module keeps the semantics as a deterministic chunked batch loop
 over the same stage functions. State is APPEND-ONLY — per-batch cost is
 proportional to the BATCH, never to the accumulated state:
 
-- ``features/batch=N``   new conversations' features (delta, written once)
+- ``features/batch=N``   new conversations' features (delta, written
+  once; per-batch row counts in ``feat_counts/N``). Every
+  _CLUSTER_COMPACT_EVERY-th batch folds the tree into
+  ``features_compact/batch=N`` so accumulated reads touch one snapshot
+  + ≤K delta dirs instead of every batch dir ever written — at
+  micro-batch cadence the growing tree's file-open overhead was the
+  measured residual linear term (BASELINE.md round-5 curve)
 - ``scored_rounds/round=N``  per-round scored-pair snapshot (W5);
   global mode also records each round's row count
   (``round_counts/N``) so the adaptive decide gate sums a file ledger
-  instead of count-scanning the accumulated tree every batch
+  instead of count-scanning the accumulated tree every batch, and
+  folds the tree into ``scored_compact/round=N`` at the compaction
+  cadence (the global re-decision reads the whole accumulated scored
+  state every batch — the fold keeps that read's file count bounded;
+  per-round deltas stay for W5/timeseries readers)
 - ``matches/batch=N``    match DELTAS (new×new ∪ new×state pairs only —
   old×old pairs were decided in earlier rounds and never re-explored,
   so a pair appears in exactly one batch)
@@ -387,11 +397,7 @@ def resolve_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     without matches, adds without revokes, remaps without the marker —
     are never visible."""
     last = last_complete_batch(state_dir)
-    all_ids = (
-        spark.read.parquet(os.path.join(state_dir, "features"))
-        .where(F.col("batch") <= last)
-        .select("conv_id")
-    )
+    all_ids = accumulated_features(spark, state_dir, last).select("conv_id")
     rev_path = os.path.join(state_dir, "revoked")
     if os.path.isdir(rev_path):
         if os.path.isdir(os.path.join(state_dir, "clusters")):
@@ -696,13 +702,16 @@ def _cluster_delta_step(
             f.write("ok")
 
 
-def _last_match_compaction(state_dir: str, upto_batch: int) -> int:
-    """Highest committed match-set snapshot batch ≤ upto_batch, or -1."""
+def _last_snapshot(state_dir: str, subdir: str, upto_batch: int) -> int:
+    """Highest committed (``_SUCCESS`` present) snapshot batch ≤
+    upto_batch under ``state_dir/subdir``, or -1. Shared by the
+    matches/features/scored snapshot trees — one pruning rule, one
+    crash-visibility contract."""
     best = -1
-    d = os.path.join(state_dir, "matches_compact")
+    d = os.path.join(state_dir, subdir)
     if os.path.isdir(d):
         for name in os.listdir(d):
-            if not name.startswith("batch="):
+            if "=" not in name:
                 continue
             try:
                 b = int(name.split("=")[1])
@@ -713,6 +722,97 @@ def _last_match_compaction(state_dir: str, upto_batch: int) -> int:
             ):
                 best = max(best, b)
     return best
+
+
+def _last_match_compaction(state_dir: str, upto_batch: int) -> int:
+    """Highest committed match-set snapshot batch ≤ upto_batch, or -1."""
+    return _last_snapshot(state_dir, "matches_compact", upto_batch)
+
+
+def _snapshot_tree(
+    spark: SparkSession,
+    state_dir: str,
+    delta_dir: str,
+    snapshot_dir: str,
+    part_col: str,
+    upto: int,
+    max_snapshot: int | None = None,
+) -> DataFrame:
+    """Append-only tree read with snapshot pruning: latest committed
+    ``snapshot_dir`` fold ∪ later per-batch deltas from ``delta_dir``.
+
+    Without the fold, every accumulated read scans O(batches ever
+    written) directories — at micro-batch cadence (thousands of small
+    batches) the file-open/footer overhead of the growing tree was the
+    measured residual linear term in the per-batch wall (BASELINE.md,
+    round-5 80-batch curve). With it, a read touches one snapshot +
+    ≤ _CLUSTER_COMPACT_EVERY delta dirs: bounded files per batch.
+
+    max_snapshot has accumulated_matches' resume semantics: the
+    compaction writer rebuilding batch=b seeds from the PREVIOUS
+    snapshot so a crash between the snapshot's _SUCCESS and the batch
+    done marker can never make a resume read the path it is about to
+    overwrite."""
+    bound = upto if max_snapshot is None else min(max_snapshot, upto)
+    since = _last_snapshot(state_dir, snapshot_dir, bound)
+    df = (
+        spark.read.parquet(os.path.join(state_dir, delta_dir))
+        .where((F.col(part_col) > since) & (F.col(part_col) <= upto))
+        .drop(part_col)
+    )
+    if since >= 0:
+        df = df.unionByName(
+            spark.read.parquet(
+                os.path.join(state_dir, snapshot_dir, f"{part_col}={since}")
+            )
+        )
+    return df
+
+
+def accumulated_features(
+    spark: SparkSession,
+    state_dir: str,
+    upto_batch: int,
+    max_snapshot: int | None = None,
+) -> DataFrame:
+    """Feature state as of ``upto_batch`` (features_compact snapshot ∪
+    later batch deltas — see _snapshot_tree)."""
+    return _snapshot_tree(
+        spark, state_dir, "features", "features_compact", "batch",
+        upto_batch, max_snapshot,
+    )
+
+
+def _accumulated_scored(
+    spark: SparkSession,
+    state_dir: str,
+    upto_round: int,
+    max_snapshot: int | None = None,
+) -> DataFrame:
+    """Accumulated scored-pair state as of ``upto_round`` (global-mode
+    re-decision input; scored_compact snapshot ∪ later round deltas).
+    Per-round ``scored_rounds/round=N`` snapshots are never deleted —
+    W5 readers and the round timeseries keep full history."""
+    return _snapshot_tree(
+        spark, state_dir, "scored_rounds", "scored_compact", "round",
+        upto_round, max_snapshot,
+    )
+
+
+# Target rows per file for compaction snapshot writes: the fold is the
+# one place the engine controls the state tree's file granularity, so
+# size it for the scan (1M-row files ≈ tens of MB columnar) instead of
+# inheriting however many shuffle partitions the union happened to have.
+_SNAPSHOT_ROWS_PER_FILE = 1_000_000
+
+
+def _snapshot_coalesce(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Coalesce a snapshot fold to ceil(n_rows / _SNAPSHOT_ROWS_PER_FILE)
+    files when the row count is known from the count ledger (None =
+    legacy state without ledger records: write as-is)."""
+    if n_rows is None:
+        return df
+    return df.coalesce(max(1, -(-n_rows // _SNAPSHOT_ROWS_PER_FILE)))
 
 
 def accumulated_matches(
@@ -865,24 +965,30 @@ def round_evaluation_timeseries(
     return out.orderBy("round")
 
 
-def _write_round_count(state_dir: str, b: int, n: int) -> None:
-    """Record this round's scored-delta row count (global mode). The
-    adaptive decide gate needs n_accumulated every batch; summing the
-    per-round ledger is O(batches) file reads instead of an
-    O(accumulated) columnar count scan per batch — at thousands of
-    micro-batches the count scan alone was a growing per-batch tax.
-    Idempotent overwrite (a resumed batch rewrites the same value)."""
-    d = os.path.join(state_dir, "round_counts")
+def _write_round_count(
+    state_dir: str, b: int, n: int, subdir: str = "round_counts"
+) -> None:
+    """Record this round's delta row count (scored pairs in
+    ``round_counts``, features in ``feat_counts``). The adaptive decide
+    gate needs n_accumulated every batch and the compaction folds need
+    a total to size their output files; summing the per-round ledger is
+    O(batches) file reads instead of an O(accumulated) columnar count
+    scan per batch — at thousands of micro-batches the count scan alone
+    was a growing per-batch tax. Idempotent overwrite (a resumed batch
+    rewrites the same value)."""
+    d = os.path.join(state_dir, subdir)
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, f"{b:04d}"), "w") as f:
         f.write(str(n))
 
 
-def _sum_round_counts(state_dir: str, upto_batch: int) -> int | None:
-    """Sum of recorded scored-delta counts for rounds 0..upto_batch, or
+def _sum_round_counts(
+    state_dir: str, upto_batch: int, subdir: str = "round_counts"
+) -> int | None:
+    """Sum of recorded delta counts for rounds 0..upto_batch, or
     None when any round's record is missing (legacy state written
     before the ledger existed — caller falls back to counting)."""
-    d = os.path.join(state_dir, "round_counts")
+    d = os.path.join(state_dir, subdir)
     total = 0
     for b in range(upto_batch + 1):
         p = os.path.join(d, f"{b:04d}")
@@ -951,8 +1057,9 @@ def process_one_batch(
     feats_new = featurize(assemble_conversations(new_transcripts), cfg)
 
     # 1. append this batch's features (idempotent partition write),
-    #    then read the full state back (partition-pruned to <= b so
-    #    a crashed later batch's partial files are never visible)
+    #    then read the full state back — snapshot ∪ delta dirs ≤ b, so
+    #    a crashed later batch's partial files are never visible and
+    #    the scanned file count stays bounded (_snapshot_tree)
     feats_new.select(*_FEATURE_COLS).write.mode("overwrite").parquet(
         os.path.join(state_dir, "features", f"batch={b}")
     )
@@ -960,16 +1067,25 @@ def process_one_batch(
     # write above materialized everything — release it or every
     # batch leaks one cached RDD for the session lifetime
     _release_upstream(feats_new)
-    all_feats = (
-        spark.read.parquet(os.path.join(state_dir, "features"))
-        .where(F.col("batch") <= b)
-        .drop("batch")
-    )
     feats_new = spark.read.parquet(
         os.path.join(state_dir, "features", f"batch={b}")
     )
     n_new = feats_new.count()  # batch-sized parquet; certifies the
     # broadcast-restriction gates below
+    _write_round_count(state_dir, b, n_new, subdir="feat_counts")
+    if b > 0 and _CLUSTER_COMPACT_EVERY and b % _CLUSTER_COMPACT_EVERY == 0:
+        # feature-state fold at the shared compaction cadence: seeds
+        # from the PREVIOUS snapshot (max_snapshot=b-1) so a resume of
+        # this batch never reads the path it overwrites, and sizes its
+        # files from the feat-count ledger. Delta dirs stay on disk —
+        # pruned reads simply stop touching them.
+        _snapshot_coalesce(
+            accumulated_features(spark, state_dir, b, max_snapshot=b - 1),
+            _sum_round_counts(state_dir, b, subdir="feat_counts"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "features_compact", f"batch={b}")
+        )
+    all_feats = accumulated_features(spark, state_dir, b)
     _t_feat = time.monotonic()
 
     # 2. stream-static candidates + scoring; per-round snapshot (W5).
@@ -1018,11 +1134,20 @@ def process_one_batch(
         n_delta = delta.count()
         _write_round_count(state_dir, b, n_delta)
         if b > 0:  # any earlier batch (fresh or resumed) wrote state
-            acc = (
-                spark.read.parquet(os.path.join(state_dir, "scored_rounds"))
-                .where(F.col("round") <= b)
-                .drop("round")
-            )
+            if _CLUSTER_COMPACT_EVERY and b % _CLUSTER_COMPACT_EVERY == 0:
+                # scored-state fold (same cadence + resume contract as
+                # the feature fold): the global re-decision reads the
+                # WHOLE accumulated scored tree every batch, so this is
+                # the read it keeps bounded
+                _snapshot_coalesce(
+                    _accumulated_scored(
+                        spark, state_dir, b, max_snapshot=b - 1
+                    ),
+                    _sum_round_counts(state_dir, b),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(state_dir, "scored_compact", f"round={b}")
+                )
+            acc = _accumulated_scored(spark, state_dir, b)
             # accumulated size from the per-round count ledger — an
             # O(batches) file-read instead of an O(accumulated) scan
             # per batch; legacy states (no ledger) fall back to the

@@ -663,3 +663,110 @@ def test_legacy_global_state_bootstraps_cluster_ledger(
     assert _cluster_sets(final) == _cluster_sets(full)
     # the bootstrap left a committed compaction marker
     assert os.path.exists(f"{state}/clusters_compact/1")
+
+
+def test_feature_and_scored_state_folds(
+    spark, transcripts, tmp_path, monkeypatch
+):
+    """Round-5 state folds: every K-th batch folds the features tree
+    (both modes) and, in global mode, the accumulated scored tree into
+    a committed snapshot; accumulated reads then touch the snapshot +
+    later deltas only. Proofs: (a) inputFiles of the pruned readers
+    contain no pre-fold delta dir; (b) deleting the pre-fold delta
+    dirs changes nothing; (c) the folded run's final state equals the
+    single-shot batch run."""
+    import os
+    import shutil
+
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        _accumulated_scored,
+        accumulated_features,
+        resolve_clusters,
+    )
+
+    monkeypatch.setattr(inc, "_CLUSTER_COMPACT_EVERY", 2)
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "fold_state")
+    inc_clusters = run_incremental(transcripts, cfg, state, n_batches=4)
+    want = _cluster_sets(inc_clusters)
+    batch = run_pipeline(transcripts, cfg)
+    assert want == _cluster_sets(batch.clusters)
+    batch.release()
+
+    assert os.path.exists(f"{state}/features_compact/batch=2/_SUCCESS")
+    assert os.path.exists(f"{state}/scored_compact/round=2/_SUCCESS")
+    # (a) row parity: fold ∪ later deltas == the raw tree, exactly —
+    # any pruning bug (filter lost, fold overlapping a delta) shows as
+    # a count mismatch. (inputFiles() can't prove file pruning: it
+    # lists the relation before partition-filter pushdown.)
+    n_feats_raw = (
+        spark.read.parquet(f"{state}/features")
+        .where(F.col("batch") <= 3)
+        .count()
+    )
+    assert accumulated_features(spark, state, 3).count() == n_feats_raw
+    n_scored_raw = (
+        spark.read.parquet(f"{state}/scored_rounds")
+        .where(F.col("round") <= 3)
+        .count()
+    )
+    assert _accumulated_scored(spark, state, 3).count() == n_scored_raw
+    # (b) delete the pre-fold deltas: the pruned readers still resolve
+    # the FULL state (same counts, same clusters) — proof they never
+    # needed the deleted dirs and the folds carry their rows
+    for b in (0, 1):
+        shutil.rmtree(f"{state}/features/batch={b}")
+        shutil.rmtree(f"{state}/scored_rounds/round={b}")
+    assert accumulated_features(spark, state, 3).count() == n_feats_raw
+    assert _accumulated_scored(spark, state, 3).count() == n_scored_raw
+    assert _cluster_sets(resolve_clusters(spark, state)) == want
+
+
+def test_feature_fold_resume_and_legacy_ledger(
+    spark, transcripts, tmp_path, monkeypatch
+):
+    """Fold crash window + legacy states. (1) A crash after the
+    features/scored folds committed (_SUCCESS) but before the done
+    marker: the resumed fold batch rebuilds both snapshots seeded from
+    the PREVIOUS fold (max_snapshot=b-1) — never the path it
+    overwrites. (2) A legacy state without feat_counts ledger entries
+    folds with no coalesce sizing instead of crashing."""
+    import os
+
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+
+    monkeypatch.setattr(inc, "_CLUSTER_COMPACT_EVERY", 2)
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "fold_crash")
+    batched = transcripts.withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    )
+    for b in range(3):
+        inc.process_one_batch(
+            spark, batched.where(F.col("_b") == b).drop("_b"), cfg, state, b
+        )
+    assert os.path.exists(f"{state}/features_compact/batch=2/_SUCCESS")
+    # legacy shape: pre-fold states carried no feat-count ledger
+    os.remove(f"{state}/feat_counts/0000")
+    # crash: folds committed, done marker lost
+    os.remove(f"{state}/done/_DONE_0002")
+    final = run_incremental(transcripts, cfg, state, n_batches=4, resume=True)
+    full = run_incremental(
+        transcripts, cfg, str(tmp_path / "fold_full"), n_batches=4
+    )
+    assert _cluster_sets(final) == _cluster_sets(full)
