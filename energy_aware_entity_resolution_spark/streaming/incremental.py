@@ -801,18 +801,26 @@ def _accumulated_scored(
 
 # Target rows per file for compaction snapshot writes: the fold is the
 # one place the engine controls the state tree's file granularity, so
-# size it for the scan (1M-row files ≈ tens of MB columnar) instead of
-# inheriting however many shuffle partitions the union happened to have.
+# size it for the scan instead of inheriting however many shuffle
+# partitions the union happened to have. Two bounds: files hold at most
+# _SNAPSHOT_ROWS_PER_FILE rows (tens of MB columnar — listing stays
+# cheap at billions of rows), AND a snapshot big enough to matter
+# spreads over >= min(parallelism, rows/_SNAPSHOT_MIN_ROWS_PER_FILE)
+# files — a single-file fold made every subsequent state scan a
+# one-task stage (measured +1.5-2 s/batch on the 80-batch curve).
 _SNAPSHOT_ROWS_PER_FILE = 1_000_000
+_SNAPSHOT_MIN_ROWS_PER_FILE = 4_096
 
 
 def _snapshot_coalesce(df: DataFrame, n_rows: int | None) -> DataFrame:
-    """Coalesce a snapshot fold to ceil(n_rows / _SNAPSHOT_ROWS_PER_FILE)
-    files when the row count is known from the count ledger (None =
-    legacy state without ledger records: write as-is)."""
+    """Coalesce a snapshot fold to a file count sized from the count
+    ledger (None = legacy state without ledger records: write as-is)."""
     if n_rows is None:
         return df
-    return df.coalesce(max(1, -(-n_rows // _SNAPSHOT_ROWS_PER_FILE)))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    by_cap = -(-n_rows // _SNAPSHOT_ROWS_PER_FILE)
+    by_par = min(par, -(-n_rows // _SNAPSHOT_MIN_ROWS_PER_FILE))
+    return df.coalesce(max(1, by_cap, by_par))
 
 
 def accumulated_matches(
