@@ -438,3 +438,60 @@ def test_replay_guard_accepts_legacy_bare_markers(spark, transcripts, tmp_path):
     assert last_complete_batch(state) == 0  # not re-ingested
     upgraded(transcripts, epoch_id=1)  # new epochs still process
     assert last_complete_batch(state) == 1
+
+
+def test_stream_global_mode_with_state_folds(
+    spark, transcripts, tmp_path, monkeypatch
+):
+    """State folds × the streaming twin: with the compaction cadence
+    forced low, the foreachBatch stream's epochs fire the features /
+    scored / matches / clusters folds mid-stream, and the final state
+    still equals the single-shot batch run. Closes the last fold ×
+    execution-mode combination (the chunked loop is covered in
+    test_incremental)."""
+    import os
+
+    import energy_aware_entity_resolution_spark.streaming.incremental as inc
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.plans import run_pipeline
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        accumulated_matches,
+        resolve_clusters,
+    )
+
+    monkeypatch.setattr(inc, "_CLUSTER_COMPACT_EVERY", 2)
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(mutual_only=True, ratio_threshold=1.05),
+    )
+    src = _stage_parquet_chunks(spark, transcripts, str(tmp_path / "fsrc"), 4)
+    state = str(tmp_path / "fstate")
+    q = stream_incremental_er(
+        file_reader(spark, src, max_files_per_trigger=1),
+        cfg,
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "fckpt"),
+    )
+    q.awaitTermination(300)
+
+    assert os.path.exists(f"{state}/features_compact/batch=2/_SUCCESS")
+    assert os.path.exists(f"{state}/scored_compact/round=2/_SUCCESS")
+    batch = run_pipeline(transcripts, cfg)
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in accumulated_matches(spark, state).collect()
+    }
+    want = {(r["conv_id_a"], r["conv_id_b"]) for r in batch.matches.collect()}
+    assert got == want
+
+    def sets(df):
+        groups = {}
+        for r in df.collect():
+            groups.setdefault(r["component_id"], set()).add(r["conv_id"])
+        return {frozenset(v) for v in groups.values()}
+
+    assert sets(resolve_clusters(spark, state)) == sets(batch.clusters)
+    batch.release()
