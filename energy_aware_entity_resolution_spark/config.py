@@ -96,6 +96,16 @@ class PipelineConfig:
     run_id: str = "run0"
     checkpoint_dir: str | None = None  # parquet state root (resume)
     audit_enabled: bool = True
+    # Incremental mode only: shuffle-partition count applied for the
+    # duration of each micro-batch (restored after). A batch-sized
+    # shuffle at the cluster-wide default (200 on a real cluster, 32
+    # here) pays fixed per-partition scheduling + shuffle-file cost
+    # that AQE coalescing does not remove — measured 10-20% of the
+    # per-batch floor at 2k-conversation batches (BASELINE.md). None =
+    # leave the session setting alone. Size to ~batch rows / 64k.
+    # Caveat: the setting is session-scoped while applied, so don't
+    # run concurrent non-batch queries on the same session mid-batch.
+    batch_shuffle_partitions: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2, sort_keys=True)
@@ -110,4 +120,5 @@ class PipelineConfig:
             run_id=d.get("run_id", "run0"),
             checkpoint_dir=d.get("checkpoint_dir"),
             audit_enabled=d.get("audit_enabled", True),
+            batch_shuffle_partitions=d.get("batch_shuffle_partitions"),
         )

@@ -1045,6 +1045,41 @@ def process_one_batch(
     marker_text: str = "ok",
     scored_snapshots: bool = True,
 ) -> None:
+    """One incremental round (see _process_one_batch_impl for the full
+    step contract). This wrapper scopes
+    ``cfg.batch_shuffle_partitions``: batch-sized shuffles at the
+    cluster-wide partition default pay fixed per-partition scheduling
+    cost AQE doesn't remove (measured 10-20% of the micro-batch floor
+    — BASELINE.md), so when set, the session's shuffle-partition count
+    is lowered for the batch and restored after, crash-safe via
+    finally."""
+    if not cfg.batch_shuffle_partitions:
+        _process_one_batch_impl(
+            spark, new_transcripts, cfg, state_dir, b, marker_text,
+            scored_snapshots,
+        )
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(cfg.batch_shuffle_partitions))
+    try:
+        _process_one_batch_impl(
+            spark, new_transcripts, cfg, state_dir, b, marker_text,
+            scored_snapshots,
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _process_one_batch_impl(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    cfg: PipelineConfig,
+    state_dir: str,
+    b: int,
+    marker_text: str = "ok",
+    scored_snapshots: bool = True,
+) -> None:
     """One incremental round over a batch of transcript turns — the
     SHARED step behind run_incremental (chunked batch loop) and
     stream_incremental_er (Structured Streaming foreachBatch): append

@@ -770,3 +770,23 @@ def test_feature_fold_resume_and_legacy_ledger(
         transcripts, cfg, str(tmp_path / "fold_full"), n_batches=4
     )
     assert _cluster_sets(final) == _cluster_sets(full)
+
+
+def test_batch_shuffle_partitions_scoped_and_equal(
+    spark, transcripts, tmp_path
+):
+    """cfg.batch_shuffle_partitions lowers the session's
+    shuffle-partition count for each micro-batch and restores it
+    after; the final state is identical to the default-partition
+    run (the knob changes physical parallelism only)."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    cfg = PipelineConfig(batch_shuffle_partitions=4)
+    tuned = run_incremental(
+        transcripts, cfg, str(tmp_path / "sp_state"), n_batches=3
+    )
+    assert spark.conf.get(key) == before  # restored after every batch
+    plain = run_incremental(
+        transcripts, PipelineConfig(), str(tmp_path / "sp_plain"), n_batches=3
+    )
+    assert _cluster_sets(tuned) == _cluster_sets(plain)
