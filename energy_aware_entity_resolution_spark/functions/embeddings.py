@@ -59,22 +59,45 @@ def make_pooled_embedding_udf(dim: int = 64):
     return pooled_embed
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine of two unit vectors = dot product, JVM-side fold (no UDF)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine of two unit vectors = dot product, JVM-side (no UDF).
+
+    With ``dim`` (statically known vector length) the fold runs over a
+    CONSTANT-FOLDED index sequence — one higher-order aggregate whose
+    lambda reads both arrays by index — instead of zip_with + aggregate,
+    which materializes a boxed intermediate products array per pair and
+    walks the array twice. Measured ~2x on pair-join projections
+    (OPTIMIZATION_r06.md §cosine). Bit-identical: same elementwise
+    products added to the same 0.0 accumulator in the same order.
+    (A fully unrolled 64-term arithmetic chain was tried first: it wins
+    3x on a plain per-row projection but collapses whole-stage codegen
+    on join stages — 3.6x SLOWER per pair; see OPTIMIZATION_r06.md.)
+    Only valid when every array has exactly ``dim`` elements — an
+    element_at past the end yields null (the fold would ignore it)."""
+    return dot_col(a, b, dim)
 
 
-def dot_col(a: Column, b: Column) -> Column:
+def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),  # foldable -> literal array
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(a, i) * F.element_at(b, i),
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm_col(a: Column) -> Column:
+def norm_col(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(dim)),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(a, i) * F.element_at(a, i),
+            )
+        )
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )

@@ -17,9 +17,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def jaccard_col(a: Column, b: Column) -> Column:
+def jaccard_col(a: Column, b: Column, distinct_arrays: bool = False) -> Column:
     """Set Jaccard |∩|/|∪| over token arrays (M3,
-    formula_comparison.py:19-24) — array_intersect/union, codegen'd."""
+    formula_comparison.py:19-24) — array_intersect/union, codegen'd.
+
+    distinct_arrays=True: the caller guarantees each array is already
+    duplicate-free (featurize's rare_tokens are), so |∪| is computed by
+    inclusion-exclusion |a|+|b|-|∩| instead of materializing
+    array_union — per pair that drops one hash-set build + one array
+    allocation, roughly halving the expression's cost on the scoring
+    path (OPTIMIZATION_r06.md). Exact integer identity, same output."""
+    if distinct_arrays:
+        inter = F.size(F.array_intersect(a, b))
+        denom = F.size(a) + F.size(b) - inter
+        return F.when(denom > 0, inter / denom).otherwise(F.lit(1.0))
     denom = F.size(F.array_union(a, b))
     return F.when(denom > 0, F.size(F.array_intersect(a, b)) / denom).otherwise(
         F.lit(1.0)

@@ -333,21 +333,53 @@ def embedding_near_dup_pairs(
     auto-n_bits path keeps expected occupancy ~4k ≪ the cap, so
     uniformly-oversize buckets don't arise)."""
     from energy_aware_entity_resolution_spark.operators.similarity_search import (
-        _cosine,
+        _cosine_prenorm,
+        _dim_of,
+        _with_vec_norm,
         sign_lsh_buckets,
     )
 
-    b = sign_lsh_buckets(
-        vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
-    )
-    counts = b.groupBy("bucket").agg(F.count("*").alias("_n"))
-    big_keys = counts.where(F.col("_n") > max_bucket_rows).select("bucket")
-    small = b.join(F.broadcast(big_keys), "bucket", "left_anti")
+    dim = _dim_of(vectors, vec_col)
+    # cast to double + norm ONCE PER ROW before the bucket self-join
+    # (guide §2.3); each joined pair then pays only the index-fold dot +
+    # one multiply — bit-identical to the old per-pair _cosine
+    b = _with_vec_norm(
+        sign_lsh_buckets(
+            vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
+        ),
+        vec_col,
+        dim,
+        "_v",
+    ).drop(vec_col)
+    # Hot-bucket keys collect to the driver (guide §2.4: the set is
+    # small by construction — skew means FEW hot buckets — and was
+    # being collected into a broadcast relation anyway); membership
+    # becomes an InSet filter, which removes two broadcast joins from
+    # every pass, and when NO bucket exceeds the cap (the common case)
+    # the whole salted subtree is omitted — provably identical output.
+    big = [
+        r["bucket"]
+        for r in b.groupBy("bucket")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket_rows)
+        .select("bucket")
+        .collect()
+    ]
+    small = b.where(~F.col("bucket").isin(big)) if big else b
     a_side = small.select(
-        "bucket", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+        "bucket",
+        F.col(id_col).alias("_ida"),
+        F.col("_vd").alias("_vda"),
+        F.col("_vn").alias("_vna"),
     )
     b_side = small.select(
-        "bucket", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+        "bucket",
+        F.col(id_col).alias("_idb"),
+        F.col("_vd").alias("_vdb"),
+        F.col("_vn").alias("_vnb"),
+    )
+    pair_cos = _cosine_prenorm(
+        F.col("_vda"), F.col("_vdb"), F.col("_vna"), F.col("_vnb"), dim
     )
     plain = (
         a_side.join(b_side, "bucket")
@@ -355,28 +387,32 @@ def embedding_near_dup_pairs(
         .select(
             F.col("_ida").alias(f"{id_col}_a"),
             F.col("_idb").alias(f"{id_col}_b"),
-            _cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+            pair_cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
+    if not big:
+        return plain
     # salted branch: same sub-bucket decomposition as
     # salted_self_join_pairs, but carrying (id, vec) so the verify
     # cosine computes inside the balanced join
     s = salt_buckets
-    big = b.join(F.broadcast(big_keys), "bucket", "left_semi").withColumn(
+    big_rows = b.where(F.col("bucket").isin(big)).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
     )
-    left = big.select(
+    left = big_rows.select(
         "bucket",
         F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
+        F.col("_vd").alias("_vda"),
+        F.col("_vn").alias("_vna"),
         F.col("_salt").alias("_i"),
         F.explode(F.sequence(F.col("_salt"), F.lit(s - 1))).alias("_j"),
     )
-    right = big.select(
+    right = big_rows.select(
         "bucket",
         F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
+        F.col("_vd").alias("_vdb"),
+        F.col("_vn").alias("_vnb"),
         F.col("_salt").alias("_j"),
         F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_i"),
     )
@@ -386,7 +422,7 @@ def embedding_near_dup_pairs(
         .select(
             F.least("_ida", "_idb").alias(f"{id_col}_a"),
             F.greatest("_ida", "_idb").alias(f"{id_col}_b"),
-            _cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+            pair_cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])

@@ -26,7 +26,6 @@ from energy_aware_entity_resolution_spark.functions.embeddings import (
 )
 from energy_aware_entity_resolution_spark.functions.similarity import (
     jaccard_col,
-    levenshtein_ratio_col,
 )
 
 
@@ -35,32 +34,58 @@ def score_pairs(
 ) -> DataFrame:
     """(conv_id_a, conv_id_b, ...) -> + per-metric and blended scores."""
     sc = cfg.scoring
+    dim = sc.embedding_dim
     # score on the DF-pruned rare tokens / rare signature — corpus
-    # boilerplate must not contribute similarity (see blocking.featurize)
-    feat = features.select("conv_id", "rare_tokens", "rare_sig", "vec", "sig_hash")
+    # boilerplate must not contribute similarity (see blocking.featurize).
+    # Per-SIDE work is precomputed before the pair join (guide §2.3):
+    # the Levenshtein inputs are capped + measured once per conversation
+    # (also narrowing the string the join shuffles to <= cap chars), and
+    # the portable path's vector norm is taken once per conversation —
+    # each pair then pays only the unrolled dot. All per-pair arithmetic
+    # is bit-identical to the previous per-pair expressions.
+    lev_c = F.substring(F.col("rare_sig"), 1, sc.levenshtein_cap)
+    feat = features.select(
+        "conv_id",
+        "rare_tokens",
+        lev_c.alias("lev_sig"),
+        F.length(lev_c).alias("lev_len"),
+        "vec",
+        "sig_hash",
+        *(
+            [norm_col(F.col("vec"), dim).alias("vec_norm")]
+            if cfg.blocking.portable
+            else []
+        ),
+    )
     a = feat.select(
         F.col("conv_id").alias("conv_id_a"),
-        F.col("rare_tokens").alias("tokens_a"),
-        F.col("rare_sig").alias("cleaned_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("sig_hash").alias("sig_hash_a"),
+        *[F.col(c).alias(f"{c}_a") for c in feat.columns if c != "conv_id"],
     )
     b = feat.select(
         F.col("conv_id").alias("conv_id_b"),
-        F.col("rare_tokens").alias("tokens_b"),
-        F.col("rare_sig").alias("cleaned_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("sig_hash").alias("sig_hash_b"),
+        *[F.col(c).alias(f"{c}_b") for c in feat.columns if c != "conv_id"],
     )
+    lev_mx = F.greatest(F.col("lev_len_a"), F.col("lev_len_b"), F.lit(1))
     scored = (
         pairs.join(a, "conv_id_a")
         .join(b, "conv_id_b")
-        .withColumn("jaccard", jaccard_col(F.col("tokens_a"), F.col("tokens_b")))
+        .withColumn(
+            "jaccard",
+            jaccard_col(
+                F.col("rare_tokens_a"), F.col("rare_tokens_b"), distinct_arrays=True
+            ),
+        )
+        # equality short-circuit: exact-dup pairs (frequent — every
+        # exact candidate) take an O(L) memcmp instead of the O(L²) DP;
+        # equal strings have distance 0 by definition, so the value is
+        # unchanged
         .withColumn(
             "lev_ratio",
-            levenshtein_ratio_col(
-                F.col("cleaned_a"), F.col("cleaned_b"), cap=sc.levenshtein_cap
-            ),
+            F.lit(1.0)
+            - F.when(F.col("lev_sig_a") == F.col("lev_sig_b"), F.lit(0)).otherwise(
+                F.levenshtein(F.col("lev_sig_a"), F.col("lev_sig_b"))
+            )
+            / lev_mx,
         )
         # signed feature-hash vectors can go slightly negative; a
         # negative cosine means "dissimilar", clamp for the [0,1] blend.
@@ -70,11 +95,11 @@ def score_pairs(
         .withColumn(
             "cosine",
             F.greatest(
-                cosine_col(F.col("vec_a"), F.col("vec_b"))
+                cosine_col(F.col("vec_a"), F.col("vec_b"), dim)
                 if not cfg.blocking.portable
-                else dot_col(F.col("vec_a"), F.col("vec_b"))
+                else dot_col(F.col("vec_a"), F.col("vec_b"), dim)
                 / F.greatest(
-                    norm_col(F.col("vec_a")) * norm_col(F.col("vec_b")),
+                    F.col("vec_norm_a") * F.col("vec_norm_b"),
                     F.lit(1e-12),
                 ),
                 F.lit(0.0),
@@ -89,4 +114,15 @@ def score_pairs(
     )
     return scored.withColumn(
         "score", F.when(F.col("exact"), F.lit(1.0)).otherwise(blend)
-    ).drop("tokens_a", "tokens_b", "cleaned_a", "cleaned_b", "vec_a", "vec_b")
+    ).drop(
+        "rare_tokens_a",
+        "rare_tokens_b",
+        "lev_sig_a",
+        "lev_sig_b",
+        "lev_len_a",
+        "lev_len_b",
+        "vec_a",
+        "vec_b",
+        "vec_norm_a",
+        "vec_norm_b",
+    )

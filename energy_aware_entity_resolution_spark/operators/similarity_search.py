@@ -58,16 +58,45 @@ def _id_type(df: DataFrame, id_col: str) -> str:
     return df.schema[id_col].dataType.simpleString()
 
 
-def _cosine(a, b):
+def _dim_of(df: DataFrame, vec_col: str) -> int | None:
+    """Static vector length (one cheap head() action) — lets the
+    cosine/dot expressions unroll into codegen-able arithmetic chains
+    instead of interpreted higher-order folds (embeddings.dot_col).
+    None on an empty table → callers fall back to the fold."""
+    row = df.select(vec_col).head()
+    if row is None or row[0] is None:
+        return None
+    return len(row[0])
+
+
+def _cosine(a, b, dim: int | None = None):
     # widen to double BEFORE multiplying: float*float products lose
     # bits that can flip the 6th rounded decimal vs engines that
     # accumulate in double (the DuckDB oracle does)
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")
     return F.round(
-        dot_col(ad, bd)
-        / F.greatest(norm_col(ad) * norm_col(bd), F.lit(1e-12)),
+        dot_col(ad, bd, dim)
+        / F.greatest(norm_col(ad, dim) * norm_col(bd, dim), F.lit(1e-12)),
         6,
+    )
+
+
+def _cosine_prenorm(ad, bd, na, nb, dim: int | None):
+    """Per-pair cosine with PRE-COMPUTED double arrays and norms: the
+    join sides cast + take their norm once per row (guide §2.3 "project
+    before the exchange"), so each joined pair pays only the unrolled
+    dot + one multiply instead of two casts + two norms + dot. Values
+    are bit-identical to _cosine: the norm is the same expression over
+    the same array, evaluated earlier."""
+    return F.round(dot_col(ad, bd, dim) / F.greatest(na * nb, F.lit(1e-12)), 6)
+
+
+def _with_vec_norm(df: DataFrame, vec_col: str, dim: int | None, prefix: str):
+    """(df + <prefix>d double array + <prefix>n norm) for join sides."""
+    vd = F.col(vec_col).cast("array<double>")
+    return df.withColumn(f"{prefix}d", vd).withColumn(
+        f"{prefix}n", norm_col(F.col(f"{prefix}d"), dim)
     )
 
 
@@ -84,17 +113,28 @@ def brute_force_topk(
     large — the crossJoin is a BroadcastNestedLoopJoin, no shuffle of
     the big side.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vv"))
+    dim = _dim_of(vectors, vec_col)
+    q = _with_vec_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        dim,
+        "_q",
+    ).drop("qv")
+    v = _with_vec_norm(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vv")),
+        "vv",
+        dim,
+        "_v",
+    ).drop("vv")
     scored = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qv"), F.col("vv")).alias("cosine"),
+            _cosine_prenorm(
+                F.col("_qd"), F.col("_vd"), F.col("_qn"), F.col("_vn"), dim
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -155,8 +195,11 @@ def sign_lsh_buckets(
         vd = F.col(vec_col).cast("array<double>")
         for j in range(n_bits):
             plane = F.array(*[F.lit(float(x)) for x in planes[j, :dim]])
+            # dim-known dot: single index-fold over the literal plane
+            # array (embeddings.dot_col) — no per-row zip_with products
+            # array
             bucket = bucket + F.when(
-                dot_col(vd, plane) > 0, F.lit(1 << j)
+                dot_col(vd, plane, dim) > 0, F.lit(1 << j)
             ).otherwise(F.lit(0))
     return vectors.select(
         F.col(id_col), F.col(vec_col), bucket.alias("bucket")
@@ -198,61 +241,82 @@ def bucketed_topk(
     keeps expected occupancy ≪ the cap)."""
     if n_bits is None:
         n_bits = _auto_bits(vectors.count(), target_bucket_rows)
+    dim = _dim_of(vectors, vec_col)
     b = sign_lsh_buckets(
         vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
     )
-    big_keys = (
-        b.groupBy("bucket")
+    # hot-bucket keys collected to the driver (small by construction —
+    # see docstring; they were being collected into a broadcast relation
+    # anyway): membership becomes an InSet filter, removing two
+    # broadcast joins; with no hot bucket the salt machinery vanishes
+    # from the plan entirely — identical output either way (guide §2.4)
+    big = [
+        r["bucket"]
+        for r in b.groupBy("bucket")
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > max_bucket_rows)
-        .select("bucket", F.lit(True).alias("_big"))
-    )
+        .select("bucket")
+        .collect()
+    ]
     s = salt_buckets
     masks = [0] + ([1 << j for j in range(n_bits)] if probe_hamming >= 1 else [])
     a_side = (
-        b.select(
-            F.col("bucket"),
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
+        _with_vec_norm(
+            b.select(
+                F.col("bucket"),
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+            ),
+            "qv",
+            dim,
+            "_q",
         )
+        .drop("qv")
         .withColumn("_m", F.explode(F.array(*[F.lit(m) for m in masks])))
         .select(
             F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket"),
             "query_id",
-            "qv",
+            "_qd",
+            "_qn",
         )
-        .join(F.broadcast(big_keys), "bucket", "left")
-        .withColumn(
-            "_salt",
-            F.explode(
-                F.when(
-                    F.col("_big"), F.sequence(F.lit(0), F.lit(s - 1))
-                ).otherwise(F.array(F.lit(0)))
-            ),
-        )
-        .drop("_big")
     )
-    b_side = (
+    b_side = _with_vec_norm(
         b.select(
             F.col("bucket"),
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("vv"),
+        ),
+        "vv",
+        dim,
+        "_v",
+    ).drop("vv")
+    join_keys = ["bucket"]
+    if big:
+        join_keys = ["bucket", "_salt"]
+        a_side = a_side.withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("bucket").isin(big), F.sequence(F.lit(0), F.lit(s - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
         )
-        .join(F.broadcast(big_keys), "bucket", "left")
-        .withColumn(
+        b_side = b_side.withColumn(
             "_salt",
             F.when(
-                F.col("_big"),
+                F.col("bucket").isin(big),
                 F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(s)).cast("int"),
             ).otherwise(F.lit(0)),
         )
-        .drop("_big")
-    )
     scored = (
-        a_side.join(b_side, ["bucket", "_salt"])
+        a_side.join(b_side, join_keys)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("vv")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            _cosine_prenorm(
+                F.col("_qd"), F.col("_vd"), F.col("_qn"), F.col("_vn"), dim
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -329,11 +393,17 @@ def ivf_assign(
         if n_cells is None:
             n_cells = max(1, round(vectors.count() / target_cell_rows))
         centroids = ivf_centroids(vectors, n_cells, id_col, vec_col)
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    dim = _dim_of(vectors, vec_col)
+    cents = _with_vec_norm(centroids, "cv", dim, "_c")
+    scored = _with_vec_norm(vectors, vec_col, dim, "_v").crossJoin(
+        F.broadcast(cents)
+    ).select(
         id_col,
         vec_col,
         "cell_id",
-        _cosine(F.col(vec_col), F.col("cv")).alias("csim"),
+        _cosine_prenorm(
+            F.col("_vd"), F.col("_cd"), F.col("_vn"), F.col("_cn"), dim
+        ).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell_id"))
     return (
@@ -364,23 +434,38 @@ def ivf_topk(
         if n_cells is None:
             n_cells = max(1, round(vectors.count() / target_cell_rows))
         centroids = ivf_centroids(vectors, n_cells, id_col, vec_col)
+    dim = _dim_of(vectors, vec_col)
     owned = ivf_assign(vectors, None, id_col, vec_col, centroids=centroids)
     probes = (
         ivf_assign(vectors, None, id_col, vec_col, centroids=centroids, nprobe=nprobe)
         if nprobe > 1
         else owned
     )
-    a = probes.select(
-        "cell_id", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    b = owned.select(
-        "cell_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vv")
-    )
+    a = _with_vec_norm(
+        probes.select(
+            "cell_id", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+        dim,
+        "_q",
+    ).drop("qv")
+    b = _with_vec_norm(
+        owned.select(
+            "cell_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vv")
+        ),
+        "vv",
+        dim,
+        "_v",
+    ).drop("vv")
     scored = (
         a.join(b, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("vv")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            _cosine_prenorm(
+                F.col("_qd"), F.col("_vd"), F.col("_qn"), F.col("_vn"), dim
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -498,12 +583,21 @@ def _exact_rerank(
     """Exact-cosine rerank of an ADC shortlist (the FAISS refine step):
     the small shortlist joins its full vectors, query vectors broadcast
     from the small queries table, exact cosine re-orders to topk."""
-    vecs = rerank_with.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
-    )
-    qvecs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+    dim = _dim_of(rerank_with, vec_col)
+    vecs = _with_vec_norm(
+        rerank_with.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+        ),
+        "_nv",
+        dim,
+        "_v",
+    ).drop("_nv")
+    qvecs = _with_vec_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv",
+        dim,
+        "_q",
+    ).drop("_qv")
     exact = (
         shortlist.drop("rank")
         .join(vecs, "neighbor_id")
@@ -511,7 +605,9 @@ def _exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("_qv"), F.col("_nv")).alias("cosine"),
+            _cosine_prenorm(
+                F.col("_qd"), F.col("_vd"), F.col("_qn"), F.col("_vn"), dim
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

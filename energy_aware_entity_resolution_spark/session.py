@@ -45,6 +45,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES; ER pair rows are
+        # compute-dense (Levenshtein DP, set intersections per pair), so
+        # byte-based coalescing below the core count starves the
+        # heaviest projections (measured: the 1.3M-pair scoring stage
+        # coalesced to 16 of 32 cores — OPTIMIZATION_r06.md). A smaller
+        # floor keeps coalescing for genuinely tiny stages but lets
+        # compute-dense ones use full parallelism; same semantics at
+        # any cluster size (parallelismFirst still caps at default
+        # parallelism), overridable for byte-bound workloads.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
