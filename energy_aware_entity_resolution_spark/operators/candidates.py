@@ -60,20 +60,22 @@ def exact_pairs(features: DataFrame) -> DataFrame:
 def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """J8: within-block pairs of the capped band table.
 
-    Shape: (1) a fixed-width COUNT aggregate per band key (map-side
-    combinable — the shuffle carries one 8-byte counter per distinct
-    band per partition, never member ids), (2) left_semi join keeping
-    only in-cap bands, (3) groupBy collecting the ≤ max_block member
-    ids and exploding each block's C(m,2) pairs with a JVM array
-    comprehension. Counting FIRST matters: collecting member sets
-    before the size filter would materialize a hot/boilerplate band's
-    entire membership in one aggregation buffer — the exact block the
-    cap exists to drop, an executor OOM at scale. With the pre-cap
-    every aggregation buffer is bounded (8 bytes for the count, ≤
-    max_block ids for the collect), and the sort-merge semi-join
-    leaves the data partitioned by the band key so the collect_set
-    groupBy adds no extra Exchange. The in-block explosion (vs the old
-    SELF-join for pair generation) is kept — that was the 2.8x CPU win.
+    Shape: (1) ONE exchange+sort of the band table, over which a
+    window COUNT per band key sizes every band exactly (sort-based —
+    no aggregation buffer ever holds a band's membership), (2) the cap
+    filter, (3) a groupBy on the same key (partitioning reused, no
+    second Exchange) collecting the ≤ max_block member ids and
+    exploding each block's C(m,2) pairs with a JVM array
+    comprehension. Sizing BEFORE collecting matters: collecting member
+    sets before the size filter would materialize a hot/boilerplate
+    band's entire membership in one aggregation buffer — the exact
+    block the cap exists to drop, an executor OOM at scale. With the
+    pre-filter every collect buffer is bounded at max_block ids. (The
+    round-5 shape — count aggregate + left_semi join — shuffled the
+    band table twice; the window form halves that, measured 7.4 → 5.4 s
+    at 7.7M band rows, OPTIMIZATION_r06.md.) The in-block explosion
+    (vs the old SELF-join for pair generation) is kept — that was the
+    2.8x CPU win.
 
     With oversize_policy='salt', blocks above the cap are kept and
     exploded via the deterministic salted self-join so a hot band
@@ -91,14 +93,19 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     dropDuplicates(["band_id", "band_hash", "conv_id"]) first.
     """
     max_block = cfg.blocking.max_block_size
-    counts = bands.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("_n")
-    )
-    small_keys = counts.where(
-        (F.col("_n") >= 2) & (F.col("_n") <= max_block)
-    ).select("band_id", "band_hash")
+    # ONE exchange instead of two: the count-then-semi-join shape
+    # shuffled the band table for the counts aggregate AND again for
+    # the join; a window count over the band key needs a single
+    # exchange+sort, and the collect_set groupBy reuses its
+    # partitioning (guide §2.4 "two operations keyed the same way share
+    # one exchange"). Same cap semantics: _n is the exact band size,
+    # and no aggregation buffer ever holds an over-cap band's members.
+    # Measured 7.4 -> 5.4 s on the 7.7M-row band table
+    # (OPTIMIZATION_r06.md).
+    w_band = Window.partitionBy("band_id", "band_hash")
+    counted = bands.withColumn("_n", F.count("*").over(w_band))
     small = (
-        bands.join(small_keys, ["band_id", "band_hash"], "left_semi")
+        counted.where((F.col("_n") >= 2) & (F.col("_n") <= max_block))
         .groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set("conv_id")).alias("ids"))
     )
@@ -121,10 +128,7 @@ def lsh_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .withColumn("source", F.lit("lsh"))
     )
     if cfg.blocking.oversize_policy == "salt":
-        big_keys = counts.where(F.col("_n") > max_block).select(
-            "band_id", "band_hash"
-        )
-        big = bands.join(big_keys, ["band_id", "band_hash"], "left_semi")
+        big = counted.where(F.col("_n") > max_block).drop("_n")
         salted = salted_self_join_pairs(
             big, ["band_id", "band_hash"], "conv_id", cfg.blocking.salt_buckets
         ).withColumn("source", F.lit("lsh_salted"))
