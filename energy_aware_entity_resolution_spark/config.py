@@ -101,8 +101,11 @@ class PipelineConfig:
     # shuffle at the cluster-wide default (200 on a real cluster, 32
     # here) pays fixed per-partition scheduling + shuffle-file cost
     # that AQE coalescing does not remove — measured 10-20% of the
-    # per-batch floor at 2k-conversation batches (BASELINE.md). None =
-    # leave the session setting alone. Size to ~batch rows / 64k.
+    # per-batch floor at 2k-conversation batches (BASELINE.md).
+    # None (default) = DERIVE per batch from the feature-count ledger:
+    # clamp(prev_batch_rows/4096, 8, session default) — the measured
+    # capstone configuration without hand-tuning (process_one_batch).
+    # 0 = leave the session setting alone; explicit N = fixed override.
     # Caveat: the setting is session-scoped while applied, so don't
     # run concurrent non-batch queries on the same session mid-batch.
     batch_shuffle_partitions: int | None = None

@@ -94,11 +94,6 @@ def make_minhash_embed_udf(k: int = 128, dim: int = 64):
     """
     a, b = _coeffs(k)
 
-    # bound the (k x tokens) permutation matrix a sub-chunk materializes
-    # (~16 MB at k=128): full Arrow batches of long conversations would
-    # otherwise allocate hundreds of MB per worker
-    max_chunk_tokens = max(1 << 14, 1)
-
     @F.pandas_udf(
         T.StructType(
             [
@@ -108,72 +103,33 @@ def make_minhash_embed_udf(k: int = 128, dim: int = 64):
         )
     )
     def minhash_embed(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        """Whole-batch vectorized (guide §4.2): one flat token-hash
-        array per row chunk, signatures via a single (k, total_tokens)
-        outer product + np.minimum.reduceat over row segments, the
-        pooled embedding via one np.add.at scatter — no per-row numpy
-        calls, no per-element Python int conversions (tolist is C).
-        Values are bit-identical to the per-row formulation: the same
-        uint64 wraparound products feed the same per-row mins, and the
-        embedding sums are integer-valued in float64 (exact at any
-        accumulation order) with norms from the same exact squares."""
-        empty_sig = (a + b).astype(np.int64).tolist()
-        empty_vec = [0.0] * dim
         with np.errstate(over="ignore"):
             for tokens in it:
                 hmap = _token_hash64(tokens)
-                vals = tokens.values
-                n_rows = len(vals)
-                sigs: list = [None] * n_rows
-                vecs: list = [None] * n_rows
-                # row chunks bounded by token count so the (k, total)
-                # product stays small; each chunk fully vectorized
-                row = 0
-                while row < n_rows:
-                    end = row
-                    total = 0
-                    rows_idx: list[int] = []
-                    lens: list[int] = []
-                    flat: list[int] = []
-                    while end < n_rows and total < max_chunk_tokens:
-                        toks = vals[end]
-                        if toks is None or len(toks) == 0:
-                            sigs[end] = empty_sig
-                            vecs[end] = empty_vec
-                        else:
-                            rows_idx.append(end)
-                            lens.append(len(toks))
-                            flat.extend(hmap[t] for t in toks)
-                            total += len(toks)
-                        end += 1
-                    if rows_idx:
-                        hs = np.array(flat, dtype=np.uint64)
-                        lens_a = np.array(lens, dtype=np.int64)
-                        starts = np.zeros(len(lens), dtype=np.int64)
-                        np.cumsum(lens_a[:-1], out=starts[1:])
-                        # (k, total) wrap-mod-2^64 products; per-row min
-                        perm = a[:, None] * hs[None, :] + b[:, None]
-                        mins = np.minimum.reduceat(perm, starts, axis=1)
-                        sig_rows = mins.T.astype(np.int64).tolist()
-                        # pooled embedding: one scatter-add for the chunk
-                        row_of = np.repeat(
-                            np.arange(len(lens), dtype=np.int64), lens_a
-                        )
-                        idx = (hs % np.uint64(dim)).astype(np.int64)
-                        sign = np.where(
-                            (hs >> np.uint64(62)) & np.uint64(1), 1.0, -1.0
-                        )
-                        mat = np.zeros((len(lens), dim), dtype=np.float64)
-                        np.add.at(mat.reshape(-1), row_of * dim + idx, sign)
-                        ss = np.einsum("ij,ij->i", mat, mat)
-                        norms = np.sqrt(ss)
-                        nz = norms > 0
-                        mat[nz] /= norms[nz, None]
-                        vec_rows = mat.astype(np.float32).tolist()
-                        for j, r in enumerate(rows_idx):
-                            sigs[r] = sig_rows[j]
-                            vecs[r] = vec_rows[j]
-                    row = end
+                sigs = []
+                vecs = []
+                empty_sig = [int(x) for x in (a + b).astype(np.int64)]
+                for toks in tokens:
+                    if toks is None or len(toks) == 0:
+                        sigs.append(empty_sig)
+                        vecs.append([0.0] * dim)
+                        continue
+                    hs = np.fromiter(
+                        (hmap[t] for t in toks), dtype=np.uint64, count=len(toks)
+                    )
+                    sig = (a[:, None] * hs[None, :] + b[:, None]).min(axis=1)
+                    sigs.append([int(x) for x in sig.astype(np.int64)])
+                    # pooled embedding from the same 64-bit token hashes
+                    idx = (hs % np.uint64(dim)).astype(np.int64)
+                    sign = np.where(
+                        (hs >> np.uint64(62)) & np.uint64(1), 1.0, -1.0
+                    )
+                    vec = np.zeros(dim, dtype=np.float64)
+                    np.add.at(vec, idx, sign)
+                    n = np.linalg.norm(vec)
+                    if n > 0:
+                        vec /= n
+                    vecs.append(vec.astype(np.float32).tolist())
                 yield pd.DataFrame({"minhash": sigs, "vec": vecs})
 
     return minhash_embed

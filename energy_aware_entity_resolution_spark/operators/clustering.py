@@ -109,8 +109,20 @@ def _driver_union_find(spark: SparkSession, edges) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows, "conv_id string, component_id string")
+    schema = "conv_id string, component_id string"
+    if not parent:
+        return spark.createDataFrame([], schema)
+    # hand the result back through a pandas frame: createDataFrame from
+    # a list of tuples pickles row-by-row, the pandas path ships one
+    # Arrow batch (guide §6 "Arrow for driver transfers") — measured
+    # seconds at 10^5 components, identical values
+    import pandas as pd
+
+    ids = list(parent)
+    pdf = pd.DataFrame(
+        {"conv_id": ids, "component_id": [find(x) for x in ids]}
+    )
+    return spark.createDataFrame(pdf, schema)
 
 
 def connected_components(

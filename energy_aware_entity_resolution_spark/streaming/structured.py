@@ -183,10 +183,23 @@ def make_process_batch(
     markers). Pass the query's checkpoint_dir (stream_incremental_er
     does) — the marker is then ``md5(run_scope):epoch_id``, unique per
     (checkpoint, epoch). None keeps the bare epoch key for single-query
-    callers (tests driving the callable directly)."""
+    callers (tests driving the callable directly).
+
+    LEGACY markers (bare ``str(epoch_id)``, committed before the scoped
+    format existed) are ADOPTED exactly once, by the first scoped query
+    to run over the state dir: a content-named twin under that query's
+    scope is written for every bare marker (originals untouched —
+    crash-safe, idempotent), and a ``_SCOPE_ADOPTED`` flag closes the
+    window. The resumed pre-upgrade stream therefore still skips its
+    committed epochs, while LATER new queries attached to the same
+    state process their epoch 0..N normally instead of silently
+    inheriting another query's markers (ADVICE r05: the unconditional
+    bare-marker fallback reintroduced the collision run_scope fixed)."""
     import hashlib
+    import os
 
     from energy_aware_entity_resolution_spark.streaming.incremental import (
+        _content_done,
         epoch_already_processed,
         last_complete_batch,
         process_one_batch,
@@ -198,21 +211,34 @@ def make_process_batch(
         else ""
     )
 
+    def adopt_legacy_markers_once() -> None:
+        done_dir = os.path.join(state_dir, "done")
+        flag = os.path.join(done_dir, "_SCOPE_ADOPTED")
+        if not scope or not os.path.isdir(done_dir) or os.path.exists(flag):
+            return
+        for name in sorted(os.listdir(done_dir)):
+            if not name.startswith("_DONE_") or name.startswith("_DONE_C_"):
+                continue
+            try:
+                with open(os.path.join(done_dir, name)) as f:
+                    content = f.read()
+            except OSError:
+                continue
+            if content.isdigit():  # pre-upgrade bare epoch marker
+                with open(
+                    _content_done(state_dir, f"{scope}{content}"), "w"
+                ) as f:
+                    f.write(name[len("_DONE_"):])
+        with open(flag, "w") as f:
+            f.write(scope)
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        adopt_legacy_markers_once()  # one exists() once adopted
         marker = f"{scope}{epoch_id}"
         if epoch_already_processed(state_dir, marker):
             return  # replayed epoch of THIS query: already committed
-        if scope and epoch_already_processed(state_dir, str(epoch_id)):
-            # LEGACY marker: epochs committed before the scoped-marker
-            # format existed wrote bare str(epoch_id). Without this, a
-            # resumed pre-upgrade stream re-ingests those epochs under
-            # fresh batch ids — exactly the silent global-mode match
-            # revocation the guard exists to prevent. Accepting the
-            # bare form preserves pre-upgrade semantics for
-            # pre-upgrade markers (they were never query-scoped).
-            return
         b = last_complete_batch(state_dir) + 1
         process_one_batch(
             batch_df.sparkSession, batch_df, cfg, state_dir, b,

@@ -786,7 +786,85 @@ def test_batch_shuffle_partitions_scoped_and_equal(
         transcripts, cfg, str(tmp_path / "sp_state"), n_batches=3
     )
     assert spark.conf.get(key) == before  # restored after every batch
+    # batch_shuffle_partitions=0 disables scoping entirely; None (the
+    # default) DERIVES from the feature-count ledger — both must
+    # produce identical state (physical parallelism only)
     plain = run_incremental(
-        transcripts, PipelineConfig(), str(tmp_path / "sp_plain"), n_batches=3
+        transcripts,
+        PipelineConfig(batch_shuffle_partitions=0),
+        str(tmp_path / "sp_plain"),
+        n_batches=3,
     )
+    derived = run_incremental(
+        transcripts, PipelineConfig(), str(tmp_path / "sp_derived"), n_batches=3
+    )
+    assert spark.conf.get(key) == before
     assert _cluster_sets(tuned) == _cluster_sets(plain)
+    assert _cluster_sets(derived) == _cluster_sets(plain)
+
+
+def test_derived_batch_partitions_formula():
+    """The default derivation: ~4096 rows/partition, floor 8, capped
+    at (and None at or above) the session default."""
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        _derived_batch_partitions,
+    )
+
+    assert _derived_batch_partitions(2000, 32) == 8  # floor
+    assert _derived_batch_partitions(40_960, 32) == 10
+    assert _derived_batch_partitions(10_000_000, 32) is None  # >= default
+    assert _derived_batch_partitions(100, 8) is None  # floor == default
+
+
+def test_replay_marker_lookup_is_content_named(spark, transcripts, tmp_path):
+    """Every commit writes a content-named twin, so the replay guard's
+    positive lookup is one exists() and a fully-twinned state answers
+    negatives without opening marker files; legacy (twin-less) states
+    are migrated in one scan."""
+    import os
+
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        _content_done,
+        epoch_already_processed,
+        process_one_batch,
+    )
+
+    state = str(tmp_path / "marker_state")
+    cfg = PipelineConfig()
+    process_one_batch(spark, transcripts, cfg, state, 0, marker_text="m:0")
+    assert os.path.exists(_content_done(state, "m:0"))
+    assert epoch_already_processed(state, "m:0")
+    assert not epoch_already_processed(state, "m:1")
+    # simulate a legacy state: drop the twin — the content scan still
+    # finds the epoch AND rewrites the twin (one-time migration)
+    os.remove(_content_done(state, "m:0"))
+    assert epoch_already_processed(state, "m:0")
+    assert os.path.exists(_content_done(state, "m:0"))
+
+
+def test_round_count_ledger_backfills_from_footers(
+    spark, transcripts, tmp_path
+):
+    """A state resumed from a pre-ledger run (missing early count
+    records) backfills them once from the delta dirs' parquet footers
+    instead of returning None forever (ADVICE r05)."""
+    import os
+
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        _parquet_rows,
+        _sum_round_counts,
+    )
+
+    state = str(tmp_path / "ledger_state")
+    run_incremental(transcripts, PipelineConfig(), state, n_batches=3)
+    full = _sum_round_counts(state, 2, subdir="feat_counts")
+    assert full is not None and full > 0
+    # wipe one ledger record — the sum must still come back (backfilled
+    # from features/batch=1 footers) and the record must be rewritten
+    os.remove(os.path.join(state, "feat_counts", "0001"))
+    assert _sum_round_counts(state, 2, subdir="feat_counts") == full
+    assert os.path.exists(os.path.join(state, "feat_counts", "0001"))
+    # footer count agrees with the ledger record
+    n1 = _parquet_rows(os.path.join(state, "features", "batch=1"))
+    with open(os.path.join(state, "feat_counts", "0001")) as f:
+        assert int(f.read()) == n1

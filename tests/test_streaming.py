@@ -440,6 +440,44 @@ def test_replay_guard_accepts_legacy_bare_markers(spark, transcripts, tmp_path):
     assert last_complete_batch(state) == 1
 
 
+def test_legacy_markers_adopted_by_first_scoped_query_only(
+    spark, transcripts, tmp_path
+):
+    """ADVICE r05: the bare-marker fallback must not be permanent. The
+    FIRST scoped query over a pre-upgrade state adopts the bare
+    markers (its replayed epochs skip); a LATER query with a different
+    scope attached to the same state processes its epoch 0 normally
+    instead of silently inheriting the old markers."""
+    from energy_aware_entity_resolution_spark.config import (
+        BlockingConfig,
+        ScoringConfig,
+    )
+    from energy_aware_entity_resolution_spark.streaming.incremental import (
+        last_complete_batch,
+    )
+    from energy_aware_entity_resolution_spark.streaming.structured import (
+        make_process_batch,
+    )
+
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(use_sorted_neighborhood=False),
+        scoring=ScoringConfig(ratio_threshold=1.05),
+    )
+    state = str(tmp_path / "adopt_state")
+    legacy = make_process_batch(cfg, state, run_scope=None)
+    legacy(transcripts, epoch_id=0)
+    assert last_complete_batch(state) == 0
+    # first scoped query adopts: its epoch 0 replay is skipped
+    first = make_process_batch(cfg, state, run_scope=str(tmp_path / "ck1"))
+    first(transcripts, epoch_id=0)
+    assert last_complete_batch(state) == 0
+    # a DIFFERENT query's epoch 0 is NOT covered by the adopted
+    # markers — it processes normally (the pre-fix fallback skipped it)
+    second = make_process_batch(cfg, state, run_scope=str(tmp_path / "ck2"))
+    second(transcripts, epoch_id=0)
+    assert last_complete_batch(state) == 1
+
+
 def test_stream_global_mode_with_state_folds(
     spark, transcripts, tmp_path, monkeypatch
 ):
