@@ -78,6 +78,8 @@ def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim == 0:  # fold over an empty array yields the 0.0 seed
+        return F.lit(0.0)
     if dim is not None:
         return F.aggregate(
             F.sequence(F.lit(1), F.lit(dim)),  # foldable -> literal array
@@ -90,6 +92,8 @@ def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def norm_col(a: Column, dim: int | None = None) -> Column:
+    if dim == 0:
+        return F.lit(0.0)
     if dim is not None:
         return F.sqrt(
             F.aggregate(

@@ -380,7 +380,8 @@ def embedding_near_dup_pairs(
     # one multiply — bit-identical to the old per-pair _cosine
     b = _with_vec_norm(
         sign_lsh_buckets(
-            vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
+            vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed,
+            dim=dim,
         ),
         vec_col,
         dim,

@@ -155,6 +155,7 @@ def sign_lsh_buckets(
     vec_col: str = "embedding",
     target_bucket_rows: int = 4096,
     rotation_seed: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket assignment.
 
@@ -187,8 +188,8 @@ def sign_lsh_buckets(
                 F.element_at(F.col(vec_col), j + 1) > 0, F.lit(1 << j)
             ).otherwise(F.lit(0))
     else:
-        head = vectors.select(vec_col).head()
-        dim = len(head[0]) if head is not None else 0
+        if dim is None:  # callers that know the dim skip this action
+            dim = _dim_of(vectors, vec_col) or 0
         planes = np.random.RandomState(rotation_seed).standard_normal(
             (n_bits, max(dim, 1))
         )
@@ -243,7 +244,7 @@ def bucketed_topk(
         n_bits = _auto_bits(vectors.count(), target_bucket_rows)
     dim = _dim_of(vectors, vec_col)
     b = sign_lsh_buckets(
-        vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed
+        vectors, n_bits, id_col, vec_col, rotation_seed=rotation_seed, dim=dim
     )
     # hot-bucket keys collected to the driver (small by construction —
     # see docstring; they were being collected into a broadcast relation
@@ -394,7 +395,16 @@ def ivf_assign(
             n_cells = max(1, round(vectors.count() / target_cell_rows))
         centroids = ivf_centroids(vectors, n_cells, id_col, vec_col)
     dim = _dim_of(vectors, vec_col)
-    cents = _with_vec_norm(centroids, "cv", dim, "_c")
+    # materialize the tiny centroid+norm table (eager localCheckpoint):
+    # projecting the norm onto the sampled-centroid plan would defeat
+    # the TakeOrderedAndProject pattern — the hash-ordered sample then
+    # plans as a FULL global sort of the vector table (2 extra
+    # exchanges, O(N log N) at scale; seen in plans/r06). The
+    # checkpoint also computes shared/refined centroids exactly once
+    # per assign instead of once per consumer subtree.
+    cents = _with_vec_norm(centroids, "cv", dim, "_c").localCheckpoint(
+        eager=True
+    )
     scored = _with_vec_norm(vectors, vec_col, dim, "_v").crossJoin(
         F.broadcast(cents)
     ).select(
