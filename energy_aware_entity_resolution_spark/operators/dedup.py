@@ -339,6 +339,8 @@ def embedding_near_dup_pairs(
     rotation_seed: int | None = None,
     max_bucket_rows: int = 16384,
     salt_buckets: int = 8,
+    dim: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket equi-join
     with exact cosine verification >= threshold (the embedding-space
@@ -374,7 +376,8 @@ def embedding_near_dup_pairs(
         sign_lsh_buckets,
     )
 
-    dim = _dim_of(vectors, vec_col)
+    if dim is None:  # callers that know it (multipass) skip the probe
+        dim = _dim_of(vectors, vec_col)
     # cast to double + norm ONCE PER ROW before the bucket self-join
     # (guide §2.3); each joined pair then pays only the index-fold dot +
     # one multiply — bit-identical to the old per-pair _cosine
@@ -393,14 +396,19 @@ def embedding_near_dup_pairs(
     # becomes an InSet filter, which removes two broadcast joins from
     # every pass, and when NO bucket exceeds the cap (the common case)
     # the whole salted subtree is omitted — provably identical output.
-    big = [
-        r["bucket"]
-        for r in b.groupBy("bucket")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > max_bucket_rows)
-        .select("bucket")
-        .collect()
-    ]
+    # A caller-supplied total row count <= max_bucket_rows proves no
+    # bucket can exceed the cap without the aggregation job at all.
+    if n_rows is not None and n_rows <= max_bucket_rows:
+        big: list = []
+    else:
+        big = [
+            r["bucket"]
+            for r in b.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket_rows)
+            .select("bucket")
+            .collect()
+        ]
     small = b.where(~F.col("bucket").isin(big)) if big else b
     a_side = small.select(
         "bucket",
@@ -492,10 +500,20 @@ def embedding_near_dup_pairs_multipass(
     of an already-verified, threshold-pruned pair set — small)."""
     if not rotation_seeds:
         raise ValueError("embedding_near_dup_pairs_multipass: no seeds")
+    from energy_aware_entity_resolution_spark.operators.similarity_search import (
+        _dim_of,
+    )
+
+    # shared probes: one dim head() and one row count serve every pass
+    # (each pass otherwise pays its own probe + hot-bucket aggregation
+    # job — pure fixed cost at micro scale, guide §1.5/§5)
+    dim = _dim_of(vectors, vec_col)
+    n_rows = vectors.count()
     passes = [
         embedding_near_dup_pairs(
             vectors, threshold, n_bits, id_col, vec_col, rotation_seed=s,
             max_bucket_rows=max_bucket_rows, salt_buckets=salt_buckets,
+            dim=dim, n_rows=n_rows,
         )
         for s in rotation_seeds
     ]
