@@ -55,8 +55,28 @@ from energy_aware_entity_resolution_spark.operators.similarity_search import (
 )
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-file, single-row-group parquet scans as ONE task, so
+    every per-row expression before the first exchange runs serially
+    (guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read"). Round-robin to the cluster's
+    parallelism; inputs that already scan with enough splits (any
+    real-scale table) pass through untouched — no extra exchange.
+    Opt-IN per query: measured A/B, it pays only where pre-exchange
+    per-row compute dominates (regex cleaning, token folds, md5
+    shingles, vector dots) and costs where the query is
+    shuffle-structured anyway (OPTIMIZATION_r06.md)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(df) if spread else df
 
 
 # --------------------------------------------------------------- entry
@@ -117,7 +137,7 @@ def _q_assemble_events(spark, sf_dir):
 
 def _q_clean_tokens(spark, sf_dir):
     """P1-P5: cleaning + tokenization + canonical signature."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     cleaned = clean_text_col(F.col("text"))
     toks = tokens_col(cleaned)
     return docs.select(
@@ -130,7 +150,7 @@ def _q_clean_tokens(spark, sf_dir):
 
 def _q_bitmask_blocks(spark, sf_dir):
     """P6/J1/A1: 36-bit char bitmask blocking key histogram."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return (
         docs.select(bitmask_col(clean_text_col(F.col("text"))).alias("bitmask"))
         .groupBy("bitmask")
@@ -278,7 +298,7 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
 
 def _q_simhash(spark, sf_dir):
     """SimHash-32 fingerprints (near-dup family)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", simhash_col(F.col("text"), bits=32).alias("simhash"))
 
 
@@ -452,7 +472,7 @@ def _q_lsh_multiprobe_topk(spark, sf_dir):
 def _q_lang_quality(spark, sf_dir):
     """Text analysis: language-ID heuristic + quality scoring + token
     counting (training-data pipeline ops)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         lang_guess_col(F.col("text")).alias("lang_guess"),
@@ -465,7 +485,7 @@ def _q_lang_quality(spark, sf_dir):
 
 def _q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (min 8-shingle md5-60bit)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", fingerprint_col(F.col("text"), w=8).alias("fingerprint"))
 
 
@@ -511,7 +531,7 @@ def _q_window_hourly(spark, sf_dir):
 
 def _q_sn_blocks(spark, sf_dir):
     """Sorted-neighborhood ranks within signature-prefix buckets."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     sig = signature_col(tokens_col(clean_text_col(F.col("text"))))
     base = docs.select("doc_id", sig.alias("sig"))
     w = Window.partitionBy(F.substring("sig", 1, 2)).orderBy("sig", "doc_id")
@@ -524,7 +544,7 @@ def _q_sn_blocks(spark, sf_dir):
 
 def _q_token_bigrams(spark, sf_dir):
     """P10: sliding token n-grams (n=2) histogram over documents."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
     )

@@ -69,6 +69,17 @@ def _dim_of(df: DataFrame, vec_col: str) -> int | None:
     return len(row[0])
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a too-few-splits input (single-file/row-group scans
+    run as ONE task — guide §2.5) up to the session's parallelism so
+    the per-row vector work (cast, norm, bucket bits, dots) runs wide;
+    a no-op for any input that already scans with enough splits."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def _cosine(a, b, dim: int | None = None):
     # widen to double BEFORE multiplying: float*float products lose
     # bits that can flip the 6th rounded decimal vs engines that
@@ -114,6 +125,7 @@ def brute_force_topk(
     the big side.
     """
     dim = _dim_of(vectors, vec_col)
+    vectors = _spread_scan(vectors)
     q = _with_vec_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "qv",
@@ -181,6 +193,7 @@ def sign_lsh_buckets(
     """
     if n_bits is None:
         n_bits = _auto_bits(vectors.count(), target_bucket_rows)
+    vectors = _spread_scan(vectors)
     bucket = F.lit(0)
     if rotation_seed is None:
         for j in range(n_bits):
